@@ -1,0 +1,135 @@
+"""Bit-pack / unpack kernels — the bit-identity substrate.
+
+Re-expresses the reference's packed-slot layout (LeCo, SIGMOD'24;
+yhliu918/Learn-to-Compress) in vectorized numpy:
+
+* slots are ``l``-bit wide, packed LSB-first within the byte stream, i.e. the
+  payload is the little-endian bitstream of the slot sequence
+  (reference: ``headers/bit_write.h:258-323`` ``write_delta_int_T``,
+  ``headers/bit_read.h:222-275`` ``read_all_bit_fix``);
+* sign-magnitude slots carry the sign bit at position ``l-1`` with sign=1
+  meaning the residual is ADDED to the prediction
+  (``headers/bit_read.h:244-258``), magnitude masked to ``l-1`` bits;
+* unsigned slots (FOR) are plain ``l``-bit values
+  (``headers/bit_write.h:327-390`` ``write_FOR_int_T``);
+* the writer emits ``ceil(n*l/8)`` payload bytes, then one extra zero byte
+  from its flush loop, then a fixed zero tail pad:
+  ``8 - ceil(n*l/8) % 8`` bytes for the sign-magnitude writer
+  (``bit_write.h:316-322``) and ``(32 - l) // 8`` bytes for the unsigned
+  writer (``bit_write.h:379-384`` — it uses ``sizeof(uint32_t)`` regardless
+  of T, a quirk we reproduce for size parity).
+
+All functions operate on numpy arrays only (no per-row Python); they are
+called from inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_ONE = _U64(1)
+
+
+def _mask(l: int) -> np.uint64:
+    """All-ones mask of width l (0 <= l <= 64)."""
+    if l >= 64:
+        return _U64(0xFFFFFFFFFFFFFFFF)
+    return _U64((1 << l) - 1)
+
+
+def pack_unsigned(values: np.ndarray, l: int) -> np.ndarray:
+    """Pack ``values`` (uint64, each < 2**l) into an LSB-first bitstream.
+
+    Returns a uint8 array of exactly ``ceil(n*l/8)`` bytes (no tail pad —
+    callers add the reference pad via :func:`ref_tail_pad_*`).
+    """
+    values = np.ascontiguousarray(values, dtype=_U64)
+    n = values.size
+    if l == 0 or n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    values = values & _mask(l)
+    shifts = np.arange(l, dtype=_U64)
+    bits = ((values[:, None] >> shifts) & _ONE).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little")
+
+
+def unpack_unsigned(buf: np.ndarray | bytes, n: int, l: int) -> np.ndarray:
+    """Inverse of :func:`pack_unsigned`; returns uint64 array of length n."""
+    if l == 0 or n == 0:
+        return np.zeros(n, dtype=_U64)
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    bits = np.unpackbits(raw, count=n * l, bitorder="little").reshape(n, l)
+    shifts = np.arange(l, dtype=_U64)
+    return np.bitwise_or.reduce(bits.astype(_U64) << shifts, axis=1)
+
+
+def pack_signmag(sign: np.ndarray, mag: np.ndarray, l: int) -> np.ndarray:
+    """Pack sign-magnitude slots: slot = (mag & mask(l-1)) | sign << (l-1).
+
+    ``sign`` is boolean (True = residual added to prediction), ``mag`` uint64.
+    Mirrors ``write_delta_int_T`` (``bit_write.h:287-295``) including the
+    magnitude mask to ``l-1`` bits.
+    """
+    mag = np.ascontiguousarray(mag, dtype=_U64)
+    slots = (mag & _mask(l - 1)) | (sign.astype(_U64) << _U64(l - 1))
+    return pack_unsigned(slots, l)
+
+
+def unpack_signmag(buf: np.ndarray | bytes, n: int, l: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`pack_signmag` → (sign: bool[n], mag: uint64[n])."""
+    slots = unpack_unsigned(buf, n, l)
+    sign = ((slots >> _U64(l - 1)) & _ONE).astype(bool)
+    mag = slots & _mask(l - 1)
+    return sign, mag
+
+
+def gather_unsigned(buf: np.ndarray | bytes, positions: np.ndarray, l: int) -> np.ndarray:
+    """Random-access read of ``l``-bit slots at ``positions`` (vectorized).
+
+    Equivalent of the reference's per-slot readers
+    (``bit_read.h:1171-1199`` ``read_bit_fix_int_wo_round``,
+    ``bit_read.h:1270-1291``) but over a whole position list at once —
+    used by the bitmap/selective-decode path (``experiments/test_bitmap.cpp``).
+    """
+    if l == 0:
+        return np.zeros(len(positions), dtype=_U64)
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    # pad so every 9-byte window read is in-bounds
+    padded = np.zeros(raw.size + 16, dtype=np.uint8)
+    padded[: raw.size] = raw
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    bit0 = pos * l
+    byte0 = bit0 >> 3
+    bitoff = (bit0 & 7).astype(_U64)
+    window = padded[byte0[:, None] + np.arange(9)]
+    word = np.zeros(pos.size, dtype=_U64)
+    for k in range(8):
+        word |= window[:, k].astype(_U64) << _U64(8 * k)
+    hi = window[:, 8].astype(_U64)
+    lo = word >> bitoff
+    # avoid shift-by-64: only merge the 9th byte when bitoff > 0
+    upshift = (_U64(64) - bitoff) & _U64(63)
+    extra = np.where(bitoff > 0, hi << upshift, _U64(0))
+    return (lo | extra) & _mask(l)
+
+
+def gather_signmag(buf: np.ndarray | bytes, positions: np.ndarray, l: int) -> tuple[np.ndarray, np.ndarray]:
+    """Random-access sign-magnitude read → (sign, mag) at positions."""
+    slots = gather_unsigned(buf, positions, l)
+    sign = ((slots >> _U64(l - 1)) & _ONE).astype(bool)
+    mag = slots & _mask(l - 1)
+    return sign, mag
+
+
+def ref_tail_pad_signmag(payload_bytes: int) -> int:
+    """Zero-byte tail the reference writer appends after a sign-magnitude
+    payload of ``payload_bytes`` = ceil(n*l/8): one flush byte plus
+    ``8 - payload_bytes % 8`` (``bit_write.h:279-322``)."""
+    return 1 + (8 - payload_bytes % 8)
+
+
+def ref_tail_pad_unsigned(l: int) -> int:
+    """Zero-byte tail after an unsigned (FOR) payload: one flush byte plus
+    ``(32 - l) // 8`` (``bit_write.h:340-384``; uses uint32 width for any T)."""
+    return 1 + max(0, (32 - l) // 8)

@@ -1,0 +1,39 @@
+"""Codec registry — Spark-side ``CODECFactory`` analogue
+(``headers/codecfactory.h:100-128``): name ↔ id ↔ class, per dtype."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import IntCodec
+from .dict_ import DictCodec
+from .intcodecs import DeltaCodec, ForCodec, LecoFixCodec, RawCodec, RleCodec
+
+INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
+    "raw": RawCodec,
+    "for": ForCodec,
+    "delta": DeltaCodec,
+    "leco": LecoFixCodec,
+    "rle": RleCodec,
+    "dict": DictCodec,
+}
+
+# stable ids for embedding a codec choice inside payloads / chunk meta
+CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
+    ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var"]
+)}
+CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
+
+
+def int_codec(name: str, dtype=np.uint64) -> IntCodec:
+    return INT_CODEC_CLASSES[name](dtype)
+
+
+def int_candidates(dtype=np.uint64, include_dict: bool = True) -> list[IntCodec]:
+    """Candidate set for auto-selection (``experiments/best_compress.cpp:46-52``
+    uses {piecewise_fix, nonlinear_fix, FOR, rle}; ours is the north-star set
+    {leco, for, delta, rle, dict, raw})."""
+    names = ["leco", "for", "delta", "rle", "raw"]
+    if include_dict:
+        names.append("dict")
+    return [int_codec(n, dtype) for n in names]

@@ -1,0 +1,155 @@
+"""Per-codec roundtrip / gather / sum / filter tests on reference-shaped
+synthetic data (FIXTURES.md §2; seed 42, mirroring ``scripts/gen_norm.py``,
+``scripts/generate_stepwise.py``, ``scripts/poisson_randomdie.py``)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from learn_to_compress_spark.codecs import INT_CODEC_CLASSES, int_codec
+from learn_to_compress_spark.codecs.strings import (
+    DictStringCodec,
+    FsstStringCodec,
+    StrRawCodec,
+)
+from learn_to_compress_spark.select import (
+    decode_int_column,
+    decode_string_column,
+    encode_int_column,
+    encode_string_column,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def fixtures_u32():
+    n = 5000
+    linear = (np.linspace(1000, 2**31, n) + RNG.uniform(-16, 16, n)).astype(np.uint32)
+    stepwise = (3 + 5 * np.arange(n) + RNG.integers(-3, 4, n)).astype(np.uint32)
+    runs = np.repeat(
+        RNG.integers(0, 50, size=n), RNG.geometric(1 / 30, size=n)
+    )[:n].astype(np.uint32)
+    lowcard = RNG.integers(0, 12, size=n).astype(np.uint32) * 1000
+    rand = RNG.integers(0, 2**32 - 1, size=n, dtype=np.uint64).astype(np.uint32)
+    const = np.full(n, 77, dtype=np.uint32)
+    return {
+        "linear": linear,
+        "stepwise": stepwise,
+        "runs": runs,
+        "lowcard": lowcard,
+        "random": rand,
+        "const": const,
+    }
+
+
+def fixtures_u64():
+    n = 4000
+    gaps = RNG.poisson(2e6, n).astype(np.uint64)
+    poisson_ts = np.cumsum(gaps) + np.uint64(10**12)
+    rand = RNG.integers(0, 2**63, size=n, dtype=np.uint64)
+    return {"poisson_ts": poisson_ts, "random64": rand}
+
+
+ALL_CODECS = list(INT_CODEC_CLASSES)
+
+
+@pytest.mark.parametrize("codec_name", ALL_CODECS)
+@pytest.mark.parametrize("fixture", ["linear", "stepwise", "runs", "lowcard", "random", "const"])
+def test_u32_roundtrip(codec_name, fixture):
+    data = fixtures_u32()[fixture]
+    for n in [len(data), len(data) - 1, len(data) - 7, 1, 2]:
+        vals = data[:n]
+        codec = int_codec(codec_name, np.uint32)
+        payload = codec.encode(vals)
+        np.testing.assert_array_equal(codec.decode(payload, n), vals)
+
+
+@pytest.mark.parametrize("codec_name", ALL_CODECS)
+@pytest.mark.parametrize("fixture", ["poisson_ts", "random64"])
+def test_u64_roundtrip(codec_name, fixture):
+    vals = fixtures_u64()[fixture]
+    codec = int_codec(codec_name, np.uint64)
+    payload = codec.encode(vals)
+    np.testing.assert_array_equal(codec.decode(payload, len(vals)), vals)
+
+
+@pytest.mark.parametrize("codec_name", ALL_CODECS)
+def test_gather_sum_filter(codec_name):
+    vals = fixtures_u32()["stepwise"]
+    n = len(vals)
+    codec = int_codec(codec_name, np.uint32)
+    payload = codec.encode(vals)
+    pos = RNG.integers(0, n, size=333)
+    np.testing.assert_array_equal(codec.gather(payload, pos, n), vals[pos])
+    assert codec.sum(payload, n) == int(vals.sum(dtype=object))
+    v = int(np.quantile(vals, 0.9))
+    np.testing.assert_array_equal(
+        np.sort(codec.filter_gt(payload, n, v)), np.flatnonzero(vals > v)
+    )
+
+
+def test_leco_beats_for_on_linear():
+    """Codec-selection sanity (shares pattern of ``best_compress.cpp:96-105``)."""
+    f = fixtures_u32()
+    leco = int_codec("leco", np.uint32)
+    for_ = int_codec("for", np.uint32)
+    rle = int_codec("rle", np.uint32)
+    raw = int_codec("raw", np.uint32)
+    assert len(leco.encode(f["linear"])) < len(for_.encode(f["linear"]))
+    # U[-16,16] noise → 6-bit sign-magnitude residuals ≈ 19 % of 32-bit raw
+    assert len(leco.encode(f["linear"])) < 0.25 * len(raw.encode(f["linear"]))
+    assert len(rle.encode(f["runs"])) < len(leco.encode(f["runs"]))
+    # random data escapes near-raw: no codec should blow up size
+    assert len(leco.encode(f["random"])) <= 1.05 * len(raw.encode(f["random"]))
+
+
+def test_leco_zero_bit_pure_model():
+    vals = np.arange(1000, dtype=np.uint32) * 7 + 13  # exact line
+    codec = int_codec("leco", np.uint32)
+    payload = codec.encode(vals)
+    assert len(payload) == 17  # max_bit + two thetas, no residuals
+    np.testing.assert_array_equal(codec.decode(payload, 1000), vals)
+
+
+STRING_CODECS = [StrRawCodec, FsstStringCodec, DictStringCodec]
+
+
+@pytest.mark.parametrize("cls", STRING_CODECS)
+def test_string_roundtrip(cls):
+    words = ["the", "assistant", "tool_call", "α∂ß", "answer", ""]
+    strs = [
+        (" ".join(words[i % len(words)] for _ in range(i % 17))).encode("utf-8")
+        for i in range(800)
+    ]
+    codec = cls()
+    payload = codec.encode(strs)
+    assert codec.decode(payload, len(strs)) == strs
+
+
+def test_fsst_compresses_text():
+    text = ("the quick brown assistant called the tool " * 500).encode()
+    strs = [text[i : i + 80] for i in range(0, len(text) - 80, 80)]
+    fsst = FsstStringCodec()
+    raw = StrRawCodec()
+    assert len(fsst.encode(strs)) < 0.6 * len(raw.encode(strs))
+
+
+def test_int_column_framing_nulls_and_negatives():
+    ser = pd.Series([5, None, -17, 1 << 40, None, 0], dtype="Int64")
+    name, payload = encode_int_column(ser, "int64")
+    out = decode_int_column(payload, len(ser), "int64")
+    assert list(out) == [5, pd.NA, -17, 1 << 40, pd.NA, 0]
+
+
+def test_timestamp_column_framing():
+    ser = pd.Series(pd.to_datetime([1_700_000_000_000_000 + i * 20_000_000 for i in range(100)], unit="us"))
+    name, payload = encode_int_column(ser, "timestamp_us")
+    out = decode_int_column(payload, len(ser), "timestamp_us")
+    assert (out.to_numpy() == ser.to_numpy()).all()
+
+
+def test_string_column_framing_nulls():
+    ser = pd.Series(["run", None, "run", "walk", None, "run"], dtype=object)
+    name, payload = encode_string_column(ser)
+    out = decode_string_column(payload, len(ser))
+    assert list(out) == ["run", None, "run", "walk", None, "run"]
