@@ -1,0 +1,75 @@
+"""Decode job — distributed ``decodeArray8`` sweep with roundtrip checking.
+
+Reads visible chunk rows (lineage-committed only), groups the per-column
+payloads of each chunk, and reassembles table rows inside one vectorized
+pandas kernel per chunk. Row order within a chunk is positional (all columns
+of a chunk were sliced from the same sorted batch), so per-conv ordering is
+restored globally by sorting on the decoded key columns — which is exactly
+the invariant the driver checks (per-turn text equality under stable
+(conv_id, turn_idx) ordering).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..chunkstore import read_chunks
+from ..select import (
+    decode_double_column,
+    decode_int_column,
+    decode_string_column,
+)
+
+_SPARK_OF_LOGICAL = {
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "timestamp_us": T.TimestampType(),
+    "timestamp_ntz_us": T.TimestampNTZType(),
+    "string": T.StringType(),
+    "double": T.DoubleType(),
+}
+
+
+def load_schema(store: str) -> tuple[list[tuple[str, str]], list[str]]:
+    with open(os.path.join(store, "_schema.json")) as fh:
+        doc = json.load(fh)
+    return [tuple(cs) for cs in doc["colspecs"]], doc["key_cols"]
+
+
+def decode_column(payload: bytes, n: int, logical: str) -> pd.Series:
+    if logical == "string":
+        return decode_string_column(payload, n)
+    if logical == "double":
+        return decode_double_column(payload, n)
+    return decode_int_column(payload, n, logical)
+
+
+def decode_table(
+    spark: SparkSession, store: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Reassembled table DataFrame from the chunk store (column-prunable)."""
+    colspecs, _key_cols = load_schema(store)
+    if columns is not None:
+        colspecs = [cs for cs in colspecs if cs[0] in columns]
+    out_schema = T.StructType(
+        [T.StructField(n, _SPARK_OF_LOGICAL[lg], True) for n, lg in colspecs]
+    )
+    logical_of = dict(colspecs)
+    names = [n for n, _ in colspecs]
+
+    def kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["n_rows"].iloc[0])
+        data = {}
+        by_col = {r["column"]: r for _, r in pdf.iterrows()}
+        for name in names:
+            row = by_col[name]
+            data[name] = decode_column(bytes(row["payload"]), n, logical_of[name])
+        return pd.DataFrame(data)
+
+    chunks = read_chunks(spark, store, columns=names)
+    return chunks.groupBy("part_id", "chunk_id").applyInPandas(kernel, out_schema)

@@ -1,0 +1,3 @@
+from .pushdown import count_rows, filter_gt_table, sum_column
+
+__all__ = ["sum_column", "filter_gt_table", "count_rows"]

@@ -28,7 +28,12 @@ _FLAG_NULLS = 1
 _FLAG_SIGNFLIP = 2
 
 # logical column types the engine supports (input_hint schema + testdata)
-_UNSIGNED_OF = {"int32": np.uint32, "int64": np.uint64, "timestamp_us": np.uint64}
+_UNSIGNED_OF = {
+    "int32": np.uint32,
+    "int64": np.uint64,
+    "timestamp_us": np.uint64,
+    "timestamp_ntz_us": np.uint64,
+}
 
 STRING_CODEC_IDS = {"str_raw": 16, "fsst": 17, "str_dict": 18}
 STRING_CODEC_NAMES = {v: k for k, v in STRING_CODEC_IDS.items()}
@@ -132,7 +137,7 @@ def encode_int_column(ser: pd.Series, logical: str) -> tuple[str, bytes]:
     stype = np.dtype(np.int32) if width == 32 else np.dtype(np.int64)
     mask = ser.isna().to_numpy() if ser.isna().any() else None
     nonnull = ser.dropna() if mask is not None else ser
-    if logical == "timestamp_us":
+    if logical.startswith("timestamp"):
         raw = nonnull.to_numpy().astype("datetime64[us]").view(np.int64)
     else:
         raw = nonnull.to_numpy()
@@ -183,7 +188,7 @@ def decode_int_column(payload: bytes, n: int, logical: str):
     if flags & _FLAG_SIGNFLIP:
         vals = vals ^ udtype.type(1 << (width - 1))
     signed = vals.view(stype)
-    if logical == "timestamp_us":
+    if logical.startswith("timestamp"):
         dense = signed.view("datetime64[us]")
         if valid is None:
             return pd.Series(dense)
@@ -250,6 +255,71 @@ def decode_string_column(payload: bytes, n: int) -> pd.Series:
     out = np.full(n, None, dtype=object)
     out[np.flatnonzero(valid)] = decoded
     return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# pushdown entry points over framed int payloads (SUM / filter / gather
+# without materializing the column — ``headers/piecewise_fix_op.h:167-284``,
+# ``piecewise_fix_integer_template.h:206-252``, ``experiments/test_bitmap.cpp``)
+# ---------------------------------------------------------------------------
+
+
+def _int_frame(payload: bytes, n: int, logical: str):
+    udtype = np.dtype(_UNSIGNED_OF[logical])
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    codec = int_codec(CODEC_NAMES[payload[off]], udtype)
+    return flags, valid, n_valid, codec, payload[off + 1 :], udtype
+
+
+def column_sum(payload: bytes, n: int, logical: str) -> int:
+    """Exact SUM of a framed int/timestamp column (timestamps: µs since epoch),
+    computed from the compressed payload via the codec's sum pushdown."""
+    flags, _valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
+    if n_valid == 0:
+        return 0
+    total = codec.sum(sub, n_valid)
+    if flags & _FLAG_SIGNFLIP:
+        total -= n_valid * (1 << (udtype.itemsize * 8 - 1))
+    elif udtype.itemsize == 8:
+        # stored unsigned == signed only when no value has the top bit set;
+        # signflip guarantees that for negative-containing columns
+        pass
+    return total
+
+
+def column_filter_gt(payload: bytes, n: int, logical: str, v: int) -> np.ndarray:
+    """Row positions where column > v (v in the column's signed domain;
+    timestamps in µs). Nulls never match. Uses the codec's model-inversion /
+    zone pushdown."""
+    flags, valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
+    if n_valid == 0:
+        return np.empty(0, dtype=np.int64)
+    width = udtype.itemsize * 8
+    if flags & _FLAG_SIGNFLIP:
+        v = (int(v) + (1 << (width - 1))) % (1 << width)
+    pos = codec.filter_gt(sub, n_valid, int(v))
+    if valid is not None:
+        pos = np.flatnonzero(valid)[pos]
+    return pos
+
+
+def column_gather(payload: bytes, n: int, logical: str, positions: np.ndarray):
+    """Values at row positions (selective decode under a position list,
+    ``experiments/test_bitmap.cpp:116-129``). Density-adaptive: point gather
+    for sparse lists, full decode above the ~0.2 density threshold the
+    reference measured (``test_bitmap.cpp:131-165``)."""
+    positions = np.asarray(positions, dtype=np.int64)
+    flags, valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
+    if valid is not None or (n and len(positions) / n > 0.2):
+        return decode_int_column(payload, n, logical).iloc[positions].reset_index(drop=True)
+    vals = codec.gather(sub, positions, n_valid)
+    if flags & _FLAG_SIGNFLIP:
+        vals = vals ^ udtype.type(1 << (udtype.itemsize * 8 - 1))
+    signed = vals.view(np.int32 if udtype.itemsize == 4 else np.int64)
+    if logical.startswith("timestamp"):
+        return pd.Series(signed.view("datetime64[us]"))
+    return pd.Series(signed)
 
 
 def encode_double_column(ser: pd.Series) -> tuple[str, bytes]:

@@ -1,0 +1,71 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Every knob here is chosen for the 1000-executor / 100 TB target and merely
+*tested* on local[k]: AQE with skew-join handling on (long conversations
+hot-spot a hash partition — BASELINE.json north_star), Arrow batches sized to
+one column chunk so each pandas-UDF batch is exactly one encode unit, and
+shuffle partitions sized to cores locally (cluster deploys override via
+spark-submit --conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CHUNK_ROWS = 65536
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "learn-to-compress-spark",
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[6:-1]
+            shuffle_partitions = 32 if inner == "*" else max(int(inner), 2)
+        else:
+            shuffle_partitions = 200
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
+        .config("spark.sql.files.maxPartitionBytes", "268435456")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the ``spark-submit --py-files``
+    contract): zip ``learn_to_compress_spark`` and ``addPyFile`` it, so
+    kernels unpickle on workers regardless of their cwd/PYTHONPATH."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), "learn_to_compress_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath + ".tmp", "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, root))
+        os.replace(zpath + ".tmp", zpath)
+    spark.sparkContext.addPyFile(zpath)

@@ -1,0 +1,153 @@
+"""End-to-end Spark tests: encode → chunk store → decode with the
+per-turn invariant (bit-identical columns under stable (conv_id, turn_idx)
+ordering), resume semantics, and pushdown operators (SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from learn_to_compress_spark.jobs import decode_table, encode_table
+from learn_to_compress_spark.operators import count_rows, filter_gt_table, sum_column
+from learn_to_compress_spark.sources.transcripts import transcripts_df
+
+CHUNK_ROWS = 512  # small so multi-chunk paths are exercised
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "transcripts")
+    df = transcripts_df(spark, 300, parallelism=4)
+    metrics = encode_table(
+        df, path, chunk_rows=CHUNK_ROWS, num_parts=8, salt_block=64
+    )
+    assert metrics["rows"] > 300
+    assert metrics["ratio"] < 1.0
+    return path
+
+
+def _collect_sorted(df):
+    return (
+        df.orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_roundtrip_bit_identical(spark, store):
+    raw = _collect_sorted(transcripts_df(spark, 300, parallelism=4))
+    dec = _collect_sorted(decode_table(spark, store))
+    assert list(dec.columns) == list(raw.columns)
+    assert len(dec) == len(raw)
+    for col in raw.columns:
+        a, b = raw[col], dec[col]
+        if col == "ts":
+            assert (a.to_numpy() == b.to_numpy()).all(), col
+        else:
+            assert a.fillna("\0").eq(b.fillna("\0")).all() if a.dtype == object else (
+                a.to_numpy() == b.to_numpy()
+            ).all(), col
+    # the per-row invariant: per-turn text equality under stable ordering
+    assert raw["text"].equals(dec["text"])
+
+
+def test_column_pruned_decode(spark, store):
+    dec = decode_table(spark, store, columns=["conv_id", "turn_idx"])
+    assert dec.columns == ["conv_id", "turn_idx"]
+    assert dec.count() == count_rows(spark, store)
+
+
+def test_count_from_lineage(spark, store):
+    raw_count = transcripts_df(spark, 300, parallelism=4).count()
+    assert count_rows(spark, store) == raw_count
+
+
+def test_sum_pushdown(spark, store):
+    raw = transcripts_df(spark, 300, parallelism=4)
+    expect = raw.agg(F.sum("turn_idx")).collect()[0][0]
+    got = sum_column(spark, store, "turn_idx").collect()[0][0]
+    assert int(got) == expect
+    # timestamp sum in µs (decimal: int64 overflows at a few thousand rows)
+    expect_ts = raw.select(
+        F.sum(F.unix_micros("ts").cast("decimal(38,0)")).alias("s")
+    ).collect()[0][0]
+    got_ts = sum_column(spark, store, "ts").collect()[0][0]
+    assert int(got_ts) == int(expect_ts)
+
+
+def test_filter_pushdown(spark, store):
+    raw = transcripts_df(spark, 300, parallelism=4)
+    v = 50
+    expect = _collect_sorted(
+        raw.filter(F.col("turn_idx") > v).select("conv_id", "turn_idx")
+    )
+    got = _collect_sorted(
+        filter_gt_table(spark, store, "turn_idx", v, ["conv_id", "turn_idx"])
+    )
+    pd.testing.assert_frame_equal(expect, got)
+
+
+def test_filter_pushdown_timestamp(spark, store):
+    raw = transcripts_df(spark, 300, parallelism=4)
+    cutoff = raw.select(F.expr("percentile(unix_micros(ts), 0.9)")).collect()[0][0]
+    v = int(cutoff)
+    expect = _collect_sorted(
+        raw.filter(F.unix_micros("ts") > v).select("conv_id", "turn_idx", "ts")
+    )
+    got = _collect_sorted(
+        filter_gt_table(spark, store, "ts", v, ["conv_id", "turn_idx", "ts"])
+    )
+    pd.testing.assert_frame_equal(expect, got)
+
+
+def test_resume_skips_committed_parts(spark, tmp_path):
+    """Kill-and-resume: encode a subset of partitions, then resume with the
+    full input — committed parts must not re-encode and the final decoded
+    table must be complete and identical."""
+    path = str(tmp_path / "resume_store")
+    df = transcripts_df(spark, 120, parallelism=4)
+
+    # simulate a killed first run: only parts 0-3 get through
+    from pyspark.sql import functions as F2
+
+    part_col = F2.pmod(
+        F2.xxhash64(F2.col("conv_id"), (F2.col("turn_idx") / F2.lit(64)).cast("long")),
+        F2.lit(8),
+    ).cast("int")
+    partial = df.filter(part_col < 4)
+    m1 = encode_table(partial, path, chunk_rows=CHUNK_ROWS, num_parts=8, salt_block=64, run_id="run1")
+    assert m1["rows"] > 0
+
+    # resume with full input
+    m2 = encode_table(df, path, chunk_rows=CHUNK_ROWS, num_parts=8, salt_block=64, run_id="run2")
+
+    from learn_to_compress_spark.chunkstore import read_lineage
+
+    lin = read_lineage(spark, path).toPandas()
+    # no part encoded twice
+    assert lin.part_id.is_unique
+    assert set(lin[lin.run_id == "run1"].part_id) <= set(range(8))
+    assert (lin.run_id == "run2").sum() > 0
+
+    raw = _collect_sorted(df)
+    dec = _collect_sorted(decode_table(spark, path))
+    assert len(raw) == len(dec)
+    assert raw["text"].equals(dec["text"])
+    assert (raw["ts"].to_numpy() == dec["ts"].to_numpy()).all()
+
+
+def test_codec_shares_make_sense(spark, store):
+    """role/tool (low cardinality) → dict; turn_idx (ramp) → leco/delta."""
+    from learn_to_compress_spark.chunkstore import read_chunks
+
+    shares = (
+        read_chunks(spark, store)
+        .groupBy("column", "codec")
+        .count()
+        .toPandas()
+        .pivot_table(index="column", columns="codec", values="count", fill_value=0)
+    )
+    role_codecs = shares.loc["role"]
+    assert role_codecs.get("str_dict", 0) > 0
+    turn = shares.loc["turn_idx"]
+    assert turn.get("leco", 0) + turn.get("delta", 0) + turn.get("for", 0) > 0
