@@ -1,38 +1,226 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: encode the sf0.001 tables into chunk stores,
+decode back, and return a per-table summary (rows, bytes, ratio, roundtrip).
+
+``queries()`` — one entry per implemented operator (SURVEY.md §2); each
+callable takes (spark, sf_dir) and returns a DataFrame. Chunk stores are
+built once per (sf_dir, table) under /tmp and reused across calls via the
+engine's lineage-resume (committed partitions are never re-encoded).
+
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
+Aggregate/computed columns are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_KEYS = {
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "orders": ("o_orderkey",),
+    "events": ("user_id", "ts"),
+    "documents": ("doc_id",),
+}
+
+_STORE_ROOT = os.environ.get("LTC_STORE_ROOT", "/tmp/ltc_stores")
+
+
+def _prep(spark: SparkSession) -> None:
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from learn_to_compress_spark.sources.session import _ship_package
+
+    _ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def _store_for(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Encode ``table`` into a cached chunk store (resume makes this a no-op
+    when the store is already committed)."""
+    _prep(spark)
+    from learn_to_compress_spark.jobs import encode_table
+
+    from learn_to_compress_spark.sources.session import package_digest
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}::{table}::{package_digest()}".encode()
+    ).hexdigest()[:16]
+    store = os.path.join(_STORE_ROOT, key, table)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    # testdata is small; 16 parts keeps tiny-table stages sane even under a
+    # driver session with 200 default shuffle partitions
+    encode_table(df, store, key_cols=_KEYS[table], num_parts=16, resume=True)
+    return store
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Encode sf0.001 events+lineitem, decode, verify, summarize."""
+    _prep(spark)
+    from learn_to_compress_spark.jobs import decode_table, encode_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = []
+    for table in ("events", "lineitem"):
+        raw = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        store = _store_for(spark, sf_dir, table)
+        dec = decode_table(spark, store)
+        ok = dec.exceptAll(raw).count() == 0 and raw.exceptAll(dec).count() == 0
+        from learn_to_compress_spark.chunkstore import read_lineage
+
+        stats = (
+            read_lineage(spark, store)
+            .agg(
+                F.sum("n_rows").alias("rows"),
+                F.sum("raw_bytes").alias("raw"),
+                F.sum("enc_bytes").alias("enc"),
+            )
+            .collect()[0]
+        )
+        rows.append(
+            (table, int(stats.rows), int(stats.raw), int(stats.enc),
+             float(stats.enc) / float(stats.raw), bool(ok))
+        )
+    return spark.createDataFrame(
+        rows, "table string, rows long, raw_bytes long, enc_bytes long, ratio double, roundtrip_ok boolean"
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — operator inventory entries
+# --------------------------------------------------------------------------
+
+
+def _decode_query(table: str, cols: list[str]):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.jobs import decode_table
+
+        store = _store_for(spark, sf_dir, table)
+        return decode_table(spark, store).select(*cols)
+
+    return fn
+
+
+def _sum_query(table: str, column: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import sum_column
+
+        store = _store_for(spark, sf_dir, table)
+        return sum_column(spark, store, column).select(
+            F.col(f"sum_{column}").cast("long").alias(f"sum_{column}")
+        )
+
+    return fn
+
+
+def _count_query(table: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import count_rows
+
+        store = _store_for(spark, sf_dir, table)
+        n = count_rows(spark, store)
+        return spark.createDataFrame([(n,)], "cnt long")
+
+    return fn
+
+
+def _filter_ts_query():
+    # fixed literal: events.ts spans Jan 2024 at every sf (seed-42 generator)
+    cut_us = 1_706_400_000_000_000  # 2024-01-28T00:00:00Z in µs
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_gt_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return filter_gt_table(
+            spark, store, "ts", cut_us, ["event_id", "user_id", "ts"]
+        )
+
+    return fn
+
+
+def _filter_int_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_gt_table
+
+        # user_id spans [0, 15·sf·1000): >10 is selective at every sf
+        store = _store_for(spark, sf_dir, "events")
+        return filter_gt_table(spark, store, "user_id", 10, ["event_id", "user_id"])
+
+    return fn
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {
+        # scan→encode→store→decode roundtrips (ops #1-25 via auto-selection)
+        "decode_lineitem": _decode_query(
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+             "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+             "l_linestatus", "l_shipdate"],
+        ),
+        "decode_events": _decode_query(
+            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ),
+        "decode_documents": _decode_query(
+            "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        # column-pruned decode (chunk store reads only the named columns)
+        "project_orders_keys": _decode_query("orders", ["o_orderkey", "o_custkey"]),
+        # SUM pushdown from compressed payloads (op #32)
+        "sum_lineitem_orderkey": _sum_query("lineitem", "l_orderkey"),
+        "sum_events_userid": _sum_query("events", "user_id"),
+        "sum_documents_nchars": _sum_query("documents", "n_chars"),
+        # COUNT from lineage metadata only (op: chunk-header count)
+        "count_lineitem": _count_query("lineitem"),
+        # range-filter pushdown: zone maps + model inversion (ops #28, #30, #31)
+        "filter_events_ts_gt": _filter_ts_query(),
+        "filter_events_userid_gt": _filter_int_query(),
+    }
+    from queries_pipeline import pipeline_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q.update(pipeline_queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "decode_lineitem": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+            "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+            "l_shipdate FROM lineitem"
+        ),
+        "decode_events": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+        "decode_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "project_orders_keys": "SELECT o_orderkey, o_custkey FROM orders",
+        "sum_lineitem_orderkey": "SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_l_orderkey FROM lineitem",
+        "sum_events_userid": "SELECT CAST(SUM(user_id) AS BIGINT) AS sum_user_id FROM events",
+        "sum_documents_nchars": "SELECT CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars FROM documents",
+        "count_lineitem": "SELECT COUNT(*) AS cnt FROM lineitem",
+        "filter_events_ts_gt": (
+            "SELECT event_id, user_id, ts FROM events "
+            "WHERE ts > TIMESTAMP '2024-01-28 00:00:00'"
+        ),
+        "filter_events_userid_gt": (
+            "SELECT event_id, user_id FROM events WHERE user_id > 10"
+        ),
+    }
+    from queries_pipeline import pipeline_oracle_sql
+
+    sql.update(pipeline_oracle_sql())
+    return sql

@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Covers the engine's headline paths: transcript encode/decode (the
+north-star workload), events+lineitem encode/decode, SUM and filter
+pushdowns, MinHash dedup and brute-force ANN. Every timing is a fresh
+store (no lineage reuse) so numbers are honest end-to-end walls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pyspark.sql import functions as F
+
+    from learn_to_compress_spark.jobs import decode_table, encode_table
+    from learn_to_compress_spark.operators import filter_gt_table, sum_column
+    from learn_to_compress_spark.sources.session import get_spark
+    from learn_to_compress_spark.sources.transcripts import transcripts_df
+
+    spark = get_spark(f"local[{cpus}]")
+    work = tempfile.mkdtemp(prefix="ltc_bench_")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.monotonic()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.monotonic() - self.t0, 3)
+
+        return _T()
+
+    # --- transcripts: the north-star table (~sf-scaled turns) ---
+    n_convs = max(int(200_000 * sf), 2000)
+    tdf = transcripts_df(spark, n_convs)
+    with timed("encode_transcripts"):
+        m = encode_table(tdf, f"{work}/transcripts", resume=False)
+    extra["transcript_rows"] = m["rows"]
+    extra["transcript_ratio"] = round(m["ratio"], 4)
+    with timed("decode_transcripts"):
+        n_dec = decode_table(spark, f"{work}/transcripts").count()
+    assert n_dec == m["rows"], (n_dec, m["rows"])
+    extra["transcript_rows_per_sec_encode"] = round(m["rows"] / timings["encode_transcripts"])
+    extra["transcript_rows_per_sec_decode"] = round(n_dec / timings["decode_transcripts"])
+
+    # --- events + lineitem ---
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with timed("encode_events"):
+        me = encode_table(ev, f"{work}/events", key_cols=("user_id", "ts"), resume=False)
+    extra["events_ratio"] = round(me["ratio"], 4)
+    with timed("decode_events"):
+        decode_table(spark, f"{work}/events").count()
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with timed("encode_lineitem"):
+        ml = encode_table(
+            li, f"{work}/lineitem", key_cols=("l_orderkey", "l_linenumber"), resume=False
+        )
+    extra["lineitem_ratio"] = round(ml["ratio"], 4)
+    with timed("decode_lineitem"):
+        decode_table(spark, f"{work}/lineitem").count()
+
+    # --- pushdowns over the encoded lineitem/events stores ---
+    with timed("sum_pushdown_orderkey"):
+        sum_column(spark, f"{work}/lineitem", "l_orderkey").collect()
+    with timed("filter_pushdown_ts"):
+        filter_gt_table(
+            spark, f"{work}/events", "ts", 1_706_400_000_000_000, ["event_id", "ts"]
+        ).count()
+
+    # --- training-pipeline ops ---
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from learn_to_compress_spark.functions.dedup import minhash_dedup_pairs
+
+    with timed("dedup_minhash"):
+        minhash_dedup_pairs(docs, threshold=0.8).count()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from learn_to_compress_spark.functions.similarity import brute_topk
+
+    import numpy as np
+
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0], np.float64
+    )
+    with timed("ann_brute_topk"):
+        brute_topk(emb, qv, k=10).collect()
+
+    shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extra,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

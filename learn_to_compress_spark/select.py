@@ -323,35 +323,40 @@ def column_gather(payload: bytes, n: int, logical: str, positions: np.ndarray):
 
 
 def encode_double_column(ser: pd.Series) -> tuple[str, bytes]:
-    """Doubles pass through bit-identically as raw little-endian (the
-    reference has no float payload codec in the shipped benchmark set)."""
+    """Doubles are encoded bit-identically via their uint64 bit patterns:
+    low-cardinality float columns (quantities, rates, prices) dictionary- or
+    RLE-compress extremely well, everything else escapes to raw. Model
+    codecs (leco/for/delta) are excluded — float bit patterns have no linear
+    structure. (The reference has no float payload codec in its shipped
+    benchmark set; this is our extension.)"""
     mask = ser.isna().to_numpy()
     has_nulls = bool(mask.any())
-    vals = ser.dropna().to_numpy(dtype=np.float64)
+    bits = ser.dropna().to_numpy(dtype=np.float64).view(np.uint64)
+    if bits.size:
+        sizes = int_codec_sizes(bits, np.uint64)
+        name = min(("raw", "rle", "dict"), key=lambda k: sizes[k])
+        payload = int_codec(name, np.uint64).encode(bits)
+    else:
+        name, payload = "raw", b""
     parts = [bytes([_FLAG_NULLS if has_nulls else 0])]
     if has_nulls:
         parts.append(np.packbits(~mask, bitorder="little").tobytes())
-    parts.append(bytes([CODEC_IDS["raw"]]))
-    parts.append(vals.tobytes())
-    return "raw", b"".join(parts)
+    parts.append(bytes([CODEC_IDS[name]]))
+    parts.append(payload)
+    return name, b"".join(parts)
 
 
 def decode_double_column(payload: bytes, n: int) -> pd.Series:
     flags = payload[0]
-    off = 1
-    valid = None
-    n_valid = n
-    if flags & _FLAG_NULLS:
-        nb = (n + 7) // 8
-        valid = np.unpackbits(
-            np.frombuffer(payload, np.uint8, count=nb, offset=off),
-            count=n,
-            bitorder="little",
-        ).astype(bool)
-        n_valid = int(valid.sum())
-        off += nb
-    off += 1  # codec id (always raw)
-    vals = np.frombuffer(payload, np.float64, count=n_valid, offset=off)
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    name = CODEC_NAMES[payload[off]]
+    off += 1
+    bits = (
+        int_codec(name, np.uint64).decode(payload[off:], n_valid)
+        if n_valid
+        else np.empty(0, np.uint64)
+    )
+    vals = bits.view(np.float64)
     if valid is None:
         return pd.Series(vals.copy())
     out = np.full(n, np.nan)

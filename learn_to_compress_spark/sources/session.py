@@ -50,6 +50,25 @@ def get_spark(
     return spark
 
 
+def package_digest() -> str:
+    """Content digest of the package sources — used to invalidate shipped
+    zips and cached chunk stores when the engine changes."""
+    import hashlib
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    digest = hashlib.sha1()
+    for dirpath, _dirs, files in sorted(os.walk(pkg_dir)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                st = os.stat(full)
+                digest.update(
+                    f"{os.path.relpath(full, root)}:{st.st_mtime_ns}:{st.st_size};".encode()
+                )
+    return digest.hexdigest()[:12]
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executors (the ``spark-submit --py-files``
     contract): zip ``learn_to_compress_spark`` and ``addPyFile`` it, so
@@ -59,13 +78,17 @@ def _ship_package(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), "learn_to_compress_spark_pkg.zip")
+    sources = []
+    for dirpath, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(dirpath, fn))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"learn_to_compress_spark_pkg_{package_digest()}.zip"
+    )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath + ".tmp", "w") as zf:
-            for dirpath, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        zf.write(full, os.path.relpath(full, root))
+            for full in sorted(sources):
+                zf.write(full, os.path.relpath(full, root))
         os.replace(zpath + ".tmp", zpath)
     spark.sparkContext.addPyFile(zpath)
