@@ -8,6 +8,7 @@ import numpy as np
 from .base import IntCodec
 from .dict_ import DictCodec
 from .intcodecs import DeltaCodec, ForCodec, LecoFixCodec, RawCodec, RleCodec
+from .leco_var import LecoVarCodec
 
 INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "raw": RawCodec,
@@ -16,6 +17,7 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "leco": LecoFixCodec,
     "rle": RleCodec,
     "dict": DictCodec,
+    "leco_var": LecoVarCodec,
 }
 
 # stable ids for embedding a codec choice inside payloads / chunk meta

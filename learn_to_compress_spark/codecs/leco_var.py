@@ -1,0 +1,259 @@
+"""LeCo_var — variable-length piecewise-linear segmentation (operator #10).
+
+Reference: ``headers/piecewise_cost_merge_integer_template_link.h:343-680``
+(``leco_cost``) — phase-1 greedy split driven by second-derivative
+bit-width, phase-2 bidirectional merge while total bytes decline; exact-byte
+cost function ``newsegment_size`` (``:99-170``); per-segment float32 thetas
+(``:112-113``); ALEX index for segment routing (``:745-837``).
+
+Our algorithm reaches the same cost optimum differently (NOT a port):
+**top-down recursive split** with the exact serialized-bytes cost — a
+segment is split at its maximum-|residual| slot whenever the two halves
+(plus per-segment overhead) serialize smaller than the whole. Least-squares
+fits are O(1) per candidate via global prefix sums, so segmentation is
+O(n log n). Segment routing uses ``np.searchsorted`` over the start array —
+at chunk scale a binary search beats a learned index (the reference needs
+ALEX only because its "chunk" is a whole 200M-value column).
+
+Layout:
+``n_segs:u32 | starts u32[n_segs] | (max_bit u8, theta0 f64, theta1 f64)[n_segs]
+ | residual bitstreams (each segment byte-aligned)``
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..bitpack import pack_signmag, unpack_signmag
+from .base import IntCodec, bits_int
+
+_SEG_META = 4 + 1 + 8 + 8  # start:u32 + bit:u8 + theta0:f64 + theta1:f64
+_MIN_SEG = 16
+
+
+class _Fitter:
+    """O(1) least-squares over any [s, e) window via global prefix sums."""
+
+    def __init__(self, y64: np.ndarray):
+        n = y64.size
+        g = np.arange(n, dtype=np.float64)
+        yf = y64.astype(np.float64)
+        self.Py = np.concatenate(([0.0], np.cumsum(yf)))
+        self.Pgy = np.concatenate(([0.0], np.cumsum(g * yf)))
+        self.Pg = np.concatenate(([0.0], np.cumsum(g)))
+        self.Pgg = np.concatenate(([0.0], np.cumsum(g * g)))
+
+    def fit(self, s: int, e: int) -> tuple[float, float]:
+        m = e - s
+        sy = self.Py[e] - self.Py[s]
+        sgy = self.Pgy[e] - self.Pgy[s]
+        sg = self.Pg[e] - self.Pg[s]
+        sgg = self.Pgg[e] - self.Pgg[s]
+        # local x = g - s
+        sx = sg - s * m
+        sxy = sgy - s * sy
+        sxx = sgg - 2 * s * sg + s * s * m
+        xxx = sxx * m - sx * sx
+        if m <= 1 or xxx == 0:
+            return float(sy / max(m, 1)), 0.0
+        theta1 = (sxy * m - sx * sy) / xxx
+        theta0 = (sy - theta1 * sx) / m
+        return theta0, theta1
+
+
+class LecoVarCodec(IntCodec):
+    name = "leco_var"
+
+    def _seg_resid(self, y64: np.ndarray, s: int, e: int, theta0: float, theta1: float):
+        """Residuals of window [s, e) against the float64 model (int64 domain).
+
+        Divergence from the reference's float32 segment thetas
+        (``piecewise_cost_merge_integer_template_link.h:112-113``): float64
+        keeps residual widths tight on our 64Ki-row chunks, where float32
+        slope error alone would add bits; costs 8 bytes/segment."""
+        x = np.arange(e - s, dtype=np.float64)
+        with np.errstate(invalid="ignore", over="ignore"):
+            pred = (theta0 + theta1 * x).astype(np.int64)
+            return y64[s:e] - pred, pred
+
+    def _ser_bytes(self, m: int, l: int) -> int:
+        if l >= self.width:
+            return _SEG_META + m * self.dtype.itemsize
+        return _SEG_META + (-(-m * l // 8))
+
+    def _seg_cost(self, y64, fitter, s, e):
+        """(bytes, max_bit, theta0', theta1', argmax_resid) for one segment,
+        theta0' recentered like LeCo_fix."""
+        theta0, theta1 = fitter.fit(s, e)
+        err, _ = self._seg_resid(y64, s, e, theta0, theta1)
+        theta0 += (int(err.max()) + int(err.min())) / 2.0
+        err2, _ = self._seg_resid(y64, s, e, theta0, theta1)
+        amax = int(np.abs(err2).argmax())
+        max_err = int(np.abs(err2[amax]))
+        l = bits_int(max_err) + 1 if max_err else 0
+        if l >= self.width:
+            cost = _SEG_META + (e - s) * self.dtype.itemsize  # raw segment
+            return cost, self.width, theta0, theta1, amax
+        return _SEG_META + (-(-(e - s) * l // 8)), l, theta0, theta1, amax
+
+    def encode(self, values: np.ndarray) -> bytes:
+        values = np.ascontiguousarray(values, dtype=self.dtype)
+        n = values.size
+        y64 = values.astype(np.int64) if self.width < 64 else values.view(np.int64)
+        fitter = _Fitter(y64)
+
+        # phase 0 — breakpoints at first-derivative outliers (the equivalent
+        # of the reference's second-derivative bit-width split driver,
+        # piecewise_cost_merge_integer_template_link.h:343-493): a jump whose
+        # bit width far exceeds the typical step forces a boundary
+        bounds = [0, n]
+        if n > 2 * _MIN_SEG:
+            d = np.abs(np.diff(y64))
+            typical = max(float(np.median(d)), 1.0)
+            jumps = np.flatnonzero(d > 64 * typical) + 1
+            if jumps.size and jumps.size < n // _MIN_SEG:
+                bounds = sorted({0, n, *jumps.tolist()})
+
+        # phase 1 — recursive exact-cost split within each initial segment
+        segments: list[tuple[int, int, int, float, float]] = []  # s, e, l, t0, t1
+        stack = list(zip(bounds[:-1], bounds[1:]))
+        while stack:
+            s, e = stack.pop()
+            cost, l, t0, t1, amax = self._seg_cost(y64, fitter, s, e)
+            if e - s >= 2 * _MIN_SEG:
+                k = int(np.clip(s + amax, s + _MIN_SEG, e - _MIN_SEG))
+                cl, *_ = self._seg_cost(y64, fitter, s, k)
+                cr, *_ = self._seg_cost(y64, fitter, k, e)
+                if cl + cr < cost:
+                    stack.append((k, e))
+                    stack.append((s, k))
+                    continue
+            segments.append((s, e, l, t0, t1))
+        segments.sort(key=lambda t: t[0])
+
+        # phase 2 — merge adjacent segments while total bytes decline
+        # (reference merge loop :517-534, merge_both_direction :590-680)
+        changed = True
+        while changed and len(segments) > 1:
+            changed = False
+            merged: list[tuple[int, int, int, float, float]] = []
+            i = 0
+            while i < len(segments):
+                if i + 1 < len(segments):
+                    s0, e0, l0, a0, b0 = segments[i]
+                    s1, e1, l1, a1, b1 = segments[i + 1]
+                    c_sep = (
+                        self._ser_bytes(e0 - s0, l0) + self._ser_bytes(e1 - s1, l1)
+                    )
+                    cm, lm, tm0, tm1, _ = self._seg_cost(y64, fitter, s0, e1)
+                    if cm < c_sep:
+                        merged.append((s0, e1, lm, tm0, tm1))
+                        i += 2
+                        changed = True
+                        continue
+                merged.append(segments[i])
+                i += 1
+            segments = merged
+
+        header = [struct.pack("<I", len(segments))]
+        starts = np.array([s for s, *_ in segments], dtype=np.uint32)
+        header.append(starts.tobytes())
+        payloads = []
+        for s, e, l, t0, t1 in segments:
+            header.append(struct.pack("<Bdd", l, t0, t1))
+            if l == 0:
+                continue
+            if l >= self.width:
+                payloads.append(values[s:e].tobytes())
+                continue
+            err, _ = self._seg_resid(y64, s, e, t0, t1)
+            sign = err > 0
+            mag = np.abs(err).astype(np.uint64)
+            payloads.append(pack_signmag(sign, mag, l).tobytes())
+        return b"".join(header + payloads)
+
+    def _parse(self, payload: bytes):
+        (n_segs,) = struct.unpack_from("<I", payload, 0)
+        starts = np.frombuffer(payload, np.uint32, count=n_segs, offset=4)
+        off = 4 + 4 * n_segs
+        metas = []
+        for i in range(n_segs):
+            l, t0, t1 = struct.unpack_from("<Bdd", payload, off + i * 17)
+            metas.append((l, t0, t1))
+        return starts.astype(np.int64), metas, off + 17 * n_segs
+
+    def decode(self, payload: bytes, n: int) -> np.ndarray:
+        starts, metas, off = self._parse(payload)
+        ends = np.concatenate((starts[1:], [n]))
+        out = np.empty(n, dtype=np.int64)
+        buf = np.frombuffer(payload, np.uint8)
+        for (s, e), (l, t0, t1) in zip(zip(starts, ends), metas):
+            m = int(e - s)
+            if l >= self.width:
+                out[s:e] = np.frombuffer(
+                    payload, self.dtype, count=m, offset=off
+                ).astype(np.int64) if self.width < 64 else np.frombuffer(
+                    payload, self.dtype, count=m, offset=off
+                ).view(np.int64)
+                off += m * self.dtype.itemsize
+                continue
+            x = np.arange(m, dtype=np.float64)
+            with np.errstate(invalid="ignore", over="ignore"):
+                pred = (t0 + t1 * x).astype(np.int64)
+            if l == 0:
+                out[s:e] = pred
+                continue
+            nbytes = -(-m * l // 8)
+            sign, mag = unpack_signmag(buf[off : off + nbytes], m, l)
+            out[s:e] = np.where(sign, pred + mag.view(np.int64), pred - mag.view(np.int64))
+            off += nbytes
+        return out.astype(self.dtype) if self.width < 64 else out.view(self.dtype)
+
+    def gather(self, payload, positions, n):
+        """Segment routing via binary search on the start array (replaces the
+        reference's ALEX learned index at chunk scale), then per-segment
+        vectorized point decode."""
+        positions = np.asarray(positions, dtype=np.int64)
+        # decoding whole segments touched is simplest-correct; point paths
+        # only win below ~0.2 density (test_bitmap.cpp:131-165)
+        if n and positions.size / n > 0.2:
+            return self.decode(payload, n)[positions]
+        starts, metas, off = self._parse(payload)
+        ends = np.concatenate((starts[1:], [n]))
+        # per-segment payload offsets
+        offs = [off]
+        for (s, e), (l, *_t) in zip(zip(starts, ends), metas):
+            m = int(e - s)
+            if l >= self.width:
+                offs.append(offs[-1] + m * self.dtype.itemsize)
+            elif l == 0:
+                offs.append(offs[-1])
+            else:
+                offs.append(offs[-1] + (-(-m * l // 8)))
+        buf = np.frombuffer(payload, np.uint8)
+        seg_of = np.searchsorted(starts, positions, side="right") - 1
+        out = np.empty(positions.size, dtype=np.int64)
+        from ..bitpack import gather_signmag
+
+        for seg in np.unique(seg_of):
+            sel = seg_of == seg
+            local = positions[sel] - starts[seg]
+            l, t0, t1 = metas[seg]
+            m = int(ends[seg] - starts[seg])
+            if l >= self.width:
+                vals = np.frombuffer(
+                    payload, self.dtype, count=m, offset=offs[seg]
+                )
+                out[sel] = vals[local].astype(np.int64) if self.width < 64 else vals[local].view(np.int64)
+                continue
+            with np.errstate(invalid="ignore", over="ignore"):
+                pred = (t0 + t1 * local.astype(np.float64)).astype(np.int64)
+            if l == 0:
+                out[sel] = pred
+                continue
+            nbytes = -(-m * l // 8)
+            sign, mag = gather_signmag(buf[offs[seg] : offs[seg] + nbytes], local, l)
+            out[sel] = np.where(sign, pred + mag.view(np.int64), pred - mag.view(np.int64))
+        return out.astype(self.dtype) if self.width < 64 else out.view(self.dtype)

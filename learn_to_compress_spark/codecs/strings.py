@@ -148,6 +148,61 @@ def _encode_codes(codes: np.ndarray) -> bytes:
     return _encode_ints_best(codes)
 
 
+class WordDictCodec:
+    """Word-level dictionary coding for natural-language text.
+
+    Split each string on the space byte (split/join is an exact identity, and
+    0x20 never occurs inside a UTF-8 multibyte sequence), factorize the token
+    stream chunk-wide, then compress token codes and per-row token counts
+    with the integer codec chooser. On word-structured text this beats
+    byte-level FSST in both ratio and speed; FSST remains in the candidate
+    set and the cost model picks per chunk (our extension — the reference
+    has no word-level codec).
+
+    Layout: ``n_uniq:u32 | uniq-ends sub | uniq blob | counts sub | codes sub``.
+    """
+
+    name = "word_dict"
+
+    def encode(self, strs: list[bytes]) -> bytes:
+        toks_per = [s.split(b" ") for s in strs]
+        counts = np.fromiter(map(len, toks_per), np.int64, len(strs))
+        flat = np.empty(int(counts.sum()), dtype=object)
+        pos = 0
+        for toks in toks_per:
+            flat[pos : pos + len(toks)] = toks
+            pos += len(toks)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(flat, sort=False)
+        uniqs = list(uniq)
+        ends = np.cumsum(_lengths(uniqs)) if uniqs else np.zeros(0, np.int64)
+        return b"".join(
+            [
+                struct.pack("<I", len(uniqs)),
+                _encode_ints_best(ends),
+                b"".join(uniqs),
+                _encode_ints_best(counts.astype(np.uint64)),
+                _encode_ints_best(codes.astype(np.uint64)),
+            ]
+        )
+
+    def decode(self, payload: bytes, n: int) -> list[bytes]:
+        if n == 0:
+            return []
+        (n_uniq,) = struct.unpack_from("<I", payload, 0)
+        ends_u, off = _decode_ints_best(payload, 4, n_uniq)
+        ends = ends_u.astype(np.int64)
+        blob_len = int(ends[-1]) if n_uniq else 0
+        uniqs = np.array(_split_blob(payload[off : off + blob_len], ends), dtype=object)
+        counts, off2 = _decode_ints_best(payload, off + blob_len, n)
+        counts = counts.astype(np.int64)
+        codes, _ = _decode_ints_best(payload, off2, int(counts.sum()))
+        toks = uniqs[codes.astype(np.int64)]
+        bounds = np.cumsum(counts)[:-1]
+        return [b" ".join(x) for x in np.split(toks, bounds)]
+
+
 STRING_CODEC_CLASSES = {
-    c.name: c for c in (StrRawCodec, FsstStringCodec, DictStringCodec)
+    c.name: c for c in (StrRawCodec, FsstStringCodec, DictStringCodec, WordDictCodec)
 }

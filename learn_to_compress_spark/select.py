@@ -22,7 +22,13 @@ import numpy as np
 import pandas as pd
 
 from .codecs import CODEC_IDS, CODEC_NAMES, int_candidates, int_codec
-from .codecs.strings import STRING_CODEC_CLASSES, DictStringCodec, FsstStringCodec, StrRawCodec
+from .codecs.strings import (
+    STRING_CODEC_CLASSES,
+    DictStringCodec,
+    FsstStringCodec,
+    StrRawCodec,
+    WordDictCodec,
+)
 
 _FLAG_NULLS = 1
 _FLAG_SIGNFLIP = 2
@@ -35,7 +41,7 @@ _UNSIGNED_OF = {
     "timestamp_ntz_us": np.uint64,
 }
 
-STRING_CODEC_IDS = {"str_raw": 16, "fsst": 17, "str_dict": 18}
+STRING_CODEC_IDS = {"str_raw": 16, "fsst": 17, "str_dict": 18, "word_dict": 19}
 STRING_CODEC_NAMES = {v: k for k, v in STRING_CODEC_IDS.items()}
 
 STR_SAMPLE_ROWS = 512  # strings keep sampling: FSST size has no closed form
@@ -152,6 +158,17 @@ def encode_int_column(ser: pd.Series, logical: str) -> tuple[str, bytes]:
         vals = vals ^ udtype.type(1 << (width - 1))
     name = _pick_int_codec(vals, udtype) if vals.size else "raw"
     payload = int_codec(name, udtype).encode(vals) if vals.size else b""
+    # LeCo_var (segmentation) has no closed-form size; try it only where it
+    # can plausibly win — a modelable column whose best fixed codec is still
+    # mediocre — and keep the smaller payload (operator #10)
+    if (
+        vals.size >= 4096
+        and name in ("leco", "for", "delta")
+        and len(payload) > 0.05 * vals.nbytes
+    ):
+        var_payload = int_codec("leco_var", udtype).encode(vals)
+        if len(var_payload) < len(payload):
+            name, payload = "leco_var", var_payload
     parts = [bytes([flags])]
     if mask is not None:
         parts.append(np.packbits(~mask, bitorder="little").tobytes())
@@ -203,7 +220,7 @@ def decode_int_column(payload: bytes, n: int, logical: str):
 
 
 def _pick_string_codec(strs: list[bytes]) -> str:
-    cands = [DictStringCodec(), FsstStringCodec(), StrRawCodec()]
+    cands = [DictStringCodec(), WordDictCodec(), FsstStringCodec(), StrRawCodec()]
     n = len(strs)
     if n <= 2048:
         sizes = {c.name: len(c.encode(strs)) for c in cands}

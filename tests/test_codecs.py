@@ -11,6 +11,7 @@ from learn_to_compress_spark.codecs.strings import (
     DictStringCodec,
     FsstStringCodec,
     StrRawCodec,
+    WordDictCodec,
 )
 from learn_to_compress_spark.select import (
     decode_int_column,
@@ -111,7 +112,7 @@ def test_leco_zero_bit_pure_model():
     np.testing.assert_array_equal(codec.decode(payload, 1000), vals)
 
 
-STRING_CODECS = [StrRawCodec, FsstStringCodec, DictStringCodec]
+STRING_CODECS = [StrRawCodec, FsstStringCodec, DictStringCodec, WordDictCodec]
 
 
 @pytest.mark.parametrize("cls", STRING_CODECS)
