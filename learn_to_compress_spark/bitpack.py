@@ -48,9 +48,11 @@ def pack_unsigned(values: np.ndarray, l: int) -> np.ndarray:
     n = values.size
     if l == 0 or n == 0:
         return np.zeros(0, dtype=np.uint8)
-    values = values & _mask(l)
-    shifts = np.arange(l, dtype=_U64)
-    bits = ((values[:, None] >> shifts) & _ONE).astype(np.uint8)
+    # column-wise bit extraction keeps the intermediate at 1 byte/bit
+    # (a values[:,None] >> shifts broadcast would hold 8 bytes/bit)
+    bits = np.empty((n, l), dtype=np.uint8)
+    for j in range(l):
+        bits[:, j] = (values >> _U64(j)).astype(np.uint8) & 1
     return np.packbits(bits.reshape(-1), bitorder="little")
 
 
@@ -60,8 +62,10 @@ def unpack_unsigned(buf: np.ndarray | bytes, n: int, l: int) -> np.ndarray:
         return np.zeros(n, dtype=_U64)
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     bits = np.unpackbits(raw, count=n * l, bitorder="little").reshape(n, l)
-    shifts = np.arange(l, dtype=_U64)
-    return np.bitwise_or.reduce(bits.astype(_U64) << shifts, axis=1)
+    out = np.zeros(n, dtype=_U64)
+    for j in range(l):
+        out |= bits[:, j].astype(_U64) << _U64(j)
+    return out
 
 
 def pack_signmag(sign: np.ndarray, mag: np.ndarray, l: int) -> np.ndarray:

@@ -72,16 +72,14 @@ def read_lineage(spark: SparkSession, store: str) -> DataFrame:
 
 
 def committed_parts(spark: SparkSession, store: str) -> DataFrame:
-    """(part_id, run_id) pairs that are visible — first committed run wins."""
-    lin = read_lineage(spark, store)
-    from pyspark.sql import Window
+    """(part_id, run_id) pairs that are visible.
 
-    w = Window.partitionBy("part_id").orderBy("run_id")
-    return (
-        lin.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("part_id", "run_id")
-    )
+    Every lineage row is a commit: batch resume never re-encodes a committed
+    part (so at most one batch run per part), while streaming appends commit
+    one run per micro-batch into the same parts. Chunks from a run that died
+    before its lineage write have no pair here and stay invisible — that is
+    the Iceberg-style atomicity contract."""
+    return read_lineage(spark, store).select("part_id", "run_id").distinct()
 
 
 def read_chunks(

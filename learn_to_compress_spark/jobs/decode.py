@@ -72,4 +72,6 @@ def decode_table(
         return pd.DataFrame(data)
 
     chunks = read_chunks(spark, store, columns=names)
-    return chunks.groupBy("part_id", "chunk_id").applyInPandas(kernel, out_schema)
+    # run_id is part of the chunk identity: streaming commits one run per
+    # micro-batch into the same part_ids, so chunk_id alone can collide
+    return chunks.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)

@@ -72,8 +72,12 @@ def colspecs_of(df: DataFrame, exclude: tuple[str, ...] = ()) -> list[tuple[str,
 
 def _encode_one(ser: pd.Series, logical: str) -> tuple[str, bytes, dict]:
     if logical == "string":
+        import pyarrow.compute as pc
+        import pyarrow as pa
+
         name, payload = encode_string_column(ser)
-        raw = int(ser.dropna().map(lambda s: len(s.encode("utf-8"))).sum())
+        lens = pc.binary_length(pa.Array.from_pandas(ser, type=pa.large_string()))
+        raw = int(pc.sum(lens).as_py() or 0)
         meta = {}
     elif logical == "double":
         name, payload = encode_double_column(ser)

@@ -82,12 +82,12 @@ def filter_gt_table(
 
     # zone-map chunk pruning on the filter column's meta
     tgt = chunks.filter(F.col("column") == column).select(
-        "chunk_id", F.element_at("meta", "max").cast("long").alias("zmax")
+        "run_id", "chunk_id", F.element_at("meta", "max").cast("long").alias("zmax")
     )
     alive = tgt.filter(F.col("zmax").isNull() | (F.col("zmax") > F.lit(int(value)))).select(
-        "chunk_id"
+        "run_id", "chunk_id"
     )
-    pruned = chunks.join(F.broadcast(alive), "chunk_id", "left_semi")
+    pruned = chunks.join(F.broadcast(alive), ["run_id", "chunk_id"], "left_semi")
 
     out_schema = T.StructType(
         [
@@ -110,7 +110,68 @@ def filter_gt_table(
                 data[name] = column_gather(payload, n, lg, pos)
         return pd.DataFrame(data, columns=out_cols)
 
-    return pruned.groupBy("part_id", "chunk_id").applyInPandas(kernel, out_schema)
+    return pruned.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
+
+
+def lookup_eq_table(
+    spark: SparkSession,
+    store: str,
+    column: str,
+    value: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """SELECT out_cols WHERE column = value — the point-lookup / binary-search
+    operator (``experiments/binary_search.cpp:63-122``,
+    ``randomdecodeArray8`` position gather). Zone maps prune chunks whose
+    [min, max] excludes the value; inside the kernel the model-inversion
+    filter narrows to candidates ``> value-1`` and an exact equality gather
+    keeps matches."""
+    colspecs, _ = load_schema(store)
+    logical_of = dict(colspecs)
+    need = list(dict.fromkeys([column] + out_cols))
+    chunks = read_chunks(spark, store, columns=need)
+
+    tgt = chunks.filter(F.col("column") == column).select(
+        "run_id",
+        "chunk_id",
+        F.element_at("meta", "min").cast("long").alias("zmin"),
+        F.element_at("meta", "max").cast("long").alias("zmax"),
+    )
+    v = int(value)
+    alive = tgt.filter(
+        (F.col("zmin").isNull() | (F.col("zmin") <= F.lit(v)))
+        & (F.col("zmax").isNull() | (F.col("zmax") >= F.lit(v)))
+    ).select("run_id", "chunk_id")
+    pruned = chunks.join(F.broadcast(alive), ["run_id", "chunk_id"], "left_semi")
+
+    out_schema = _decode_schema(colspecs, out_cols)
+
+    def kernel(_key, pdf):
+        import numpy as np
+
+        n = int(pdf["n_rows"].iloc[0])
+        rows = {r["column"]: r for _, r in pdf.iterrows()}
+        lg = logical_of[column]
+        payload = bytes(rows[column]["payload"])
+        cand = column_filter_gt(payload, n, lg, v - 1)
+        vals = column_gather(payload, n, lg, cand)
+        vals64 = (
+            vals.to_numpy().astype("datetime64[us]").view("int64")
+            if lg.startswith("timestamp")
+            else vals.to_numpy()
+        )
+        pos = cand[np.asarray(vals64 == v)]
+        data = {}
+        for name in out_cols:
+            p = bytes(rows[name]["payload"])
+            nlg = logical_of[name]
+            if nlg in ("string", "double"):
+                data[name] = decode_column(p, n, nlg).iloc[pos].reset_index(drop=True)
+            else:
+                data[name] = column_gather(p, n, nlg, pos)
+        return pd.DataFrame(data, columns=out_cols)
+
+    return pruned.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
 
 
 def _decode_schema(colspecs, names):

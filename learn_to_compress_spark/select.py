@@ -58,7 +58,7 @@ def _sample_slices(n: int, want: int, parts: int = 4) -> np.ndarray:
     return np.unique(np.concatenate(idx))
 
 
-def int_codec_sizes(vals: np.ndarray, dtype) -> dict[str, float]:
+def int_codec_sizes(vals: np.ndarray, dtype, candidates=None) -> dict[str, float]:
     """Exact (dict: upper-bound) compressed sizes per int codec candidate,
     computed analytically in O(n) vector ops WITHOUT bit-packing.
 
@@ -77,58 +77,69 @@ def int_codec_sizes(vals: np.ndarray, dtype) -> dict[str, float]:
     sz = dtype.itemsize
     w = sz * 8
     raw_size = 1 + n * sz  # escape layout: max_bit byte + memcpy
+    want = set(candidates) if candidates else None
+
+    def wanted(name):
+        return want is None or name in want
 
     def sm_payload(count: int, l: int) -> int:
         body = -(-count * l // 8)
         return body + ref_tail_pad_signmag(body) if l else 0
 
-    sizes: dict[str, float] = {"raw": n * sz}
+    sizes: dict[str, float] = {}
+    if wanted("raw"):
+        sizes["raw"] = n * sz
 
-    m, mx = int(vals.min()), int(vals.max())
-    b_for = bits_int(mx - m)
-    if b_for >= w - 1:
-        sizes["for"] = raw_size
-    elif b_for == 0:
-        sizes["for"] = 1 + 2 * sz
-    else:
-        body = -(-n * b_for // 8)
-        sizes["for"] = 1 + 2 * sz + body + ref_tail_pad_unsigned(b_for)
+    if wanted("for"):
+        m, mx = int(vals.min()), int(vals.max())
+        b_for = bits_int(mx - m)
+        if b_for >= w - 1:
+            sizes["for"] = raw_size
+        elif b_for == 0:
+            sizes["for"] = 1 + 2 * sz
+        else:
+            body = -(-n * b_for // 8)
+            sizes["for"] = 1 + 2 * sz + body + ref_tail_pad_unsigned(b_for)
 
-    if n <= 1:
-        sizes["delta"] = 1 + n * sz
-    else:
-        cur, prev = vals[1:], vals[:-1]
-        mag = np.where(cur > prev, cur - prev, prev - cur)
-        mmax = int(mag.max())
-        b_delta = bits_int(mmax) + 1 if mmax else 0
-        sizes["delta"] = raw_size if b_delta >= w else 1 + sz + sm_payload(n - 1, b_delta)
+    if wanted("delta"):
+        if n <= 1:
+            sizes["delta"] = 1 + n * sz
+        else:
+            cur, prev = vals[1:], vals[:-1]
+            mag = np.where(cur > prev, cur - prev, prev - cur)
+            mmax = int(mag.max())
+            b_delta = bits_int(mmax) + 1 if mmax else 0
+            sizes["delta"] = raw_size if b_delta >= w else 1 + sz + sm_payload(n - 1, b_delta)
 
-    leco = LecoFixCodec(dtype)
-    theta0, theta1 = leco._fit(vals)
-    with np.errstate(invalid="ignore"):
-        pred0 = (theta0 + theta1 * np.arange(n, dtype=np.float64)).astype(np.int64)
-        from .codecs.base import as_signed64
+    if wanted("leco"):
+        leco = LecoFixCodec(dtype)
+        theta0, theta1 = leco._fit(vals)
+        with np.errstate(invalid="ignore"):
+            pred0 = (theta0 + theta1 * np.arange(n, dtype=np.float64)).astype(np.int64)
+            from .codecs.base import as_signed64
 
-        err = as_signed64(vals) - pred0
-        theta0 += (int(err.max()) + int(err.min())) / 2.0
-        _sign, lmag, _pred = leco._residuals(vals, theta0, theta1)
-    lmax = int(lmag.max()) if n else 0
-    b_leco = bits_int(lmax) + 1 if lmax else 0
-    sizes["leco"] = raw_size if b_leco >= w else 17 + sm_payload(n, b_leco)
+            err = as_signed64(vals) - pred0
+            theta0 += (int(err.max()) + int(err.min())) / 2.0
+            _sign, lmag, _pred = leco._residuals(vals, theta0, theta1)
+        lmax = int(lmag.max()) if n else 0
+        b_leco = bits_int(lmax) + 1 if lmax else 0
+        sizes["leco"] = raw_size if b_leco >= w else 17 + sm_payload(n, b_leco)
 
     n_runs = int((vals[1:] != vals[:-1]).sum()) + 1 if n else 0
-    sizes["rle"] = 4 + n_runs * (sz + 4)
+    if wanted("rle"):
+        sizes["rle"] = 4 + n_runs * (sz + 4)
 
-    n_uniq = len(np.unique(vals))
-    # codes are uint32 with the same run structure as the values; bound the
-    # inner choice by {for, rle, raw} over codes (actual encode re-selects)
-    b_codes = bits_int(max(n_uniq - 1, 0))
-    codes_for = (
-        1 + 8 + (-(-n * b_codes // 8) + ref_tail_pad_unsigned(b_codes) if b_codes else 0)
-    )
-    codes_rle = 4 + n_runs * 8
-    codes_raw = n * 4
-    sizes["dict"] = 4 + n_uniq * sz + 1 + min(codes_for, codes_rle, codes_raw)
+    if wanted("dict"):
+        n_uniq = len(np.unique(vals))
+        # codes are uint32 with the same run structure as the values; bound
+        # the inner choice by {for, rle, raw} over codes (encode re-selects)
+        b_codes = bits_int(max(n_uniq - 1, 0))
+        codes_for = (
+            1 + 8 + (-(-n * b_codes // 8) + ref_tail_pad_unsigned(b_codes) if b_codes else 0)
+        )
+        codes_rle = 4 + n_runs * 8
+        codes_raw = n * 4
+        sizes["dict"] = 4 + n_uniq * sz + 1 + min(codes_for, codes_rle, codes_raw)
     return sizes
 
 
@@ -219,58 +230,61 @@ def decode_int_column(payload: bytes, n: int, logical: str):
     return pd.Series(out)
 
 
-def _pick_string_codec(strs: list[bytes]) -> str:
+def _pick_string_codec(arr) -> str:
+    import pyarrow as pa
+
     cands = [DictStringCodec(), WordDictCodec(), FsstStringCodec(), StrRawCodec()]
-    n = len(strs)
+    n = len(arr)
     if n <= 2048:
-        sizes = {c.name: len(c.encode(strs)) for c in cands}
+        sizes = {c.name: len(c.encode(arr)) for c in cands}
     else:
         pos = _sample_slices(n, STR_SAMPLE_ROWS)
-        sample = [strs[i] for i in pos.tolist()]
+        import pyarrow.compute as pc
+
+        sample = pc.take(arr, pa.array(pos))
         scale = n / len(sample)
         sizes = {c.name: len(c.encode(sample)) * scale for c in cands}
     return min(sizes, key=sizes.get)
 
 
 def encode_string_column(ser: pd.Series) -> tuple[str, bytes]:
-    mask = ser.isna().to_numpy()
-    has_nulls = bool(mask.any())
-    strs = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in ser.dropna()]
+    import pyarrow as pa
+
+    arr = pa.Array.from_pandas(ser, type=pa.large_string())
+    has_nulls = arr.null_count > 0
+    nonnull = arr.drop_null().cast(pa.large_binary()) if has_nulls else arr.cast(pa.large_binary())
     flags = _FLAG_NULLS if has_nulls else 0
-    name = _pick_string_codec(strs) if strs else "str_raw"
-    payload = STRING_CODEC_CLASSES[name]().encode(strs) if strs else b""
+    name = _pick_string_codec(nonnull) if len(nonnull) else "str_raw"
+    payload = STRING_CODEC_CLASSES[name]().encode(nonnull) if len(nonnull) else b""
     parts = [bytes([flags])]
     if has_nulls:
-        parts.append(np.packbits(~mask, bitorder="little").tobytes())
+        valid = ~arr.is_null().to_numpy(zero_copy_only=False)
+        parts.append(np.packbits(valid, bitorder="little").tobytes())
     parts.append(bytes([STRING_CODEC_IDS[name]]))
     parts.append(payload)
     return name, b"".join(parts)
 
 
 def decode_string_column(payload: bytes, n: int) -> pd.Series:
+    import pyarrow as pa
+
     flags = payload[0]
-    off = 1
-    valid = None
-    n_valid = n
-    if flags & _FLAG_NULLS:
-        nb = (n + 7) // 8
-        valid = np.unpackbits(
-            np.frombuffer(payload, np.uint8, count=nb, offset=off),
-            count=n,
-            bitorder="little",
-        ).astype(bool)
-        n_valid = int(valid.sum())
-        off += nb
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
     name = STRING_CODEC_NAMES[payload[off]]
     off += 1
-    strs = (
-        STRING_CODEC_CLASSES[name]().decode(payload[off:], n_valid) if n_valid else []
-    )
-    decoded = [s.decode("utf-8") for s in strs]
+    if n_valid:
+        decoded = (
+            STRING_CODEC_CLASSES[name]()
+            .decode(payload[off:], n_valid)
+            .cast(pa.large_string())
+            .to_pandas()
+        )
+    else:
+        decoded = pd.Series([], dtype=object)
     if valid is None:
-        return pd.Series(decoded, dtype=object)
+        return decoded.astype(object)
     out = np.full(n, None, dtype=object)
-    out[np.flatnonzero(valid)] = decoded
+    out[np.flatnonzero(valid)] = decoded.to_numpy(dtype=object)
     return pd.Series(out, dtype=object)
 
 

@@ -41,7 +41,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
         .config("spark.sql.files.maxPartitionBytes", "268435456")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # single-JVM local mode runs every task in the driver: size the heap
+        # for 32 concurrent task buffers, not for a thin coordinator
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

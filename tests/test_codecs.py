@@ -124,7 +124,7 @@ def test_string_roundtrip(cls):
     ]
     codec = cls()
     payload = codec.encode(strs)
-    assert codec.decode(payload, len(strs)) == strs
+    assert codec.decode(payload, len(strs)).to_pylist() == strs
 
 
 def test_fsst_compresses_text():
