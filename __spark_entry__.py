@@ -165,6 +165,28 @@ def _filter_int_query():
     return fn
 
 
+def _lookup_eq_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import lookup_eq_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return lookup_eq_table(spark, store, "user_id", 7, ["event_id", "user_id", "ts"])
+
+    return fn
+
+
+def _mod_band_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_mod_band_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return filter_mod_band_table(
+            spark, store, "user_id", 16, 3, 8, ["event_id", "user_id"]
+        )
+
+    return fn
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {
         # scan→encode→store→decode roundtrips (ops #1-25 via auto-selection)
@@ -191,6 +213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # range-filter pushdown: zone maps + model inversion (ops #28, #30, #31)
         "filter_events_ts_gt": _filter_ts_query(),
         "filter_events_userid_gt": _filter_int_query(),
+        # equality point-lookup (ops #33, #34)
+        "lookup_events_userid_eq": _lookup_eq_query(),
+        # modular band filter (op #29)
+        "filter_events_userid_mod_band": _mod_band_query(),
     }
     from queries_pipeline import pipeline_queries
 
@@ -218,6 +244,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "filter_events_userid_gt": (
             "SELECT event_id, user_id FROM events WHERE user_id > 10"
+        ),
+        "lookup_events_userid_eq": (
+            "SELECT event_id, user_id, ts FROM events WHERE user_id = 7"
+        ),
+        "filter_events_userid_mod_band": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE user_id % 16 > 3 AND user_id % 16 < 8"
         ),
     }
     from queries_pipeline import pipeline_oracle_sql

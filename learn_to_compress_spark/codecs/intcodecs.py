@@ -221,19 +221,40 @@ class LecoFixCodec(IntCodec):
             mag = np.abs(v64 - pred).astype(_U64)
         return sign, mag, pred
 
+    def _recenter(self, values: np.ndarray, theta0: float, theta1: float):
+        """Pick the intercept shift with the smallest residual width.
+
+        Candidate A is the reference's midpoint recenter
+        (``piecewise_fix_integer_template.h:36-46``). Candidate B aligns the
+        continuous error range just below zero so that an exactly-quantized
+        ramp (error width < 1, e.g. the SOSD linear dataset) truncates to
+        ZERO residuals — a strict improvement the reference misses; decode
+        is unchanged (theta is stored)."""
+        n = values.size
+        with np.errstate(invalid="ignore"):
+            x = np.arange(n, dtype=np.float64)
+            predf = theta0 + theta1 * x
+            pred0 = predf.astype(np.int64)
+            err = as_signed64(values) - pred0
+            lo, hi = int(err.min()), int(err.max())
+            # continuous error drives the floor-align candidate: shifting by
+            # its max puts every prediction in [y, y+w), so w<1 → residual 0
+            errf = as_signed64(values).astype(np.float64) - predf
+            hf = float(errf.max()) if n else 0.0
+            best = None
+            for t0 in (theta0 + (hi + lo) / 2.0, theta0 + hf):
+                sign, mag, _ = self._residuals(values, t0, theta1)
+                m = int(mag.max()) if n else 0
+                if best is None or m < best[0]:
+                    best = (m, t0, sign, mag)
+        return best[1], best[2], best[3], best[0]
+
     def encode(self, values: np.ndarray) -> bytes:
         values = np.ascontiguousarray(values, dtype=self.dtype)
         n = values.size
         theta0, theta1 = self._fit(values)
-        # pre-recenter error range, int64 domain like the C loop; the cast of
-        # an out-of-range float is UB in C too — the raw escape follows either
-        # way, so silence numpy's warning
         with np.errstate(invalid="ignore"):
-            pred0 = (theta0 + theta1 * np.arange(n, dtype=np.float64)).astype(np.int64)
-            err = as_signed64(values) - pred0
-            theta0 += (int(err.max()) + int(err.min())) / 2.0
-            sign, mag, _pred = self._residuals(values, theta0, theta1)
-        max_error = int(mag.max()) if n else 0
+            theta0, sign, mag, max_error = self._recenter(values, theta0, theta1)
         max_bit = bits_int(max_error) + 1 if max_error else 0
         if max_bit > self.width:
             max_bit = self.width

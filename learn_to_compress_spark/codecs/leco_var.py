@@ -84,14 +84,26 @@ class LecoVarCodec(IntCodec):
         return _SEG_META + (-(-m * l // 8))
 
     def _seg_cost(self, y64, fitter, s, e):
-        """(bytes, max_bit, theta0', theta1', argmax_resid) for one segment,
-        theta0' recentered like LeCo_fix."""
+        """(bytes, max_bit, theta0', theta1', argmax_resid) for one segment.
+
+        Intercept recenter tries the reference's midpoint shift AND the
+        floor-aligned shift (error range pushed just below zero) — the
+        latter truncates an exactly-quantized ramp to zero residuals."""
         theta0, theta1 = fitter.fit(s, e)
         err, _ = self._seg_resid(y64, s, e, theta0, theta1)
-        theta0 += (int(err.max()) + int(err.min())) / 2.0
-        err2, _ = self._seg_resid(y64, s, e, theta0, theta1)
-        amax = int(np.abs(err2).argmax())
-        max_err = int(np.abs(err2[amax]))
+        lo, hi = int(err.min()), int(err.max())
+        x = np.arange(e - s, dtype=np.float64)
+        with np.errstate(invalid="ignore", over="ignore"):
+            errf = y64[s:e].astype(np.float64) - (theta0 + theta1 * x)
+        hf = float(errf.max()) if e > s else 0.0
+        best = None
+        for t0 in (theta0 + (hi + lo) / 2.0, theta0 + hf):
+            err2, _ = self._seg_resid(y64, s, e, t0, theta1)
+            amax2 = int(np.abs(err2).argmax())
+            m2 = int(np.abs(err2[amax2]))
+            if best is None or m2 < best[0]:
+                best = (m2, t0, amax2)
+        max_err, theta0, amax = best
         l = bits_int(max_err) + 1 if max_err else 0
         if l >= self.width:
             cost = _SEG_META + (e - s) * self.dtype.itemsize  # raw segment

@@ -49,10 +49,29 @@ def decode_column(payload: bytes, n: int, logical: str) -> pd.Series:
     return decode_int_column(payload, n, logical)
 
 
+def decode_column_arrow(payload: bytes, n: int, logical: str):
+    from ..select import (
+        decode_double_column_arrow,
+        decode_int_column_arrow,
+        decode_string_column_arrow,
+    )
+
+    if logical == "string":
+        return decode_string_column_arrow(payload, n)
+    if logical == "double":
+        return decode_double_column_arrow(payload, n)
+    return decode_int_column_arrow(payload, n, logical)
+
+
 def decode_table(
     spark: SparkSession, store: str, columns: list[str] | None = None
 ) -> DataFrame:
-    """Reassembled table DataFrame from the chunk store (column-prunable)."""
+    """Reassembled table DataFrame from the chunk store (column-prunable).
+
+    The kernel is Arrow-native (``applyInArrow``): decoded columns return to
+    the JVM as Arrow buffers — strings never materialize as Python objects."""
+    import pyarrow as pa
+
     colspecs, _key_cols = load_schema(store)
     if columns is not None:
         colspecs = [cs for cs in colspecs if cs[0] in columns]
@@ -62,16 +81,31 @@ def decode_table(
     logical_of = dict(colspecs)
     names = [n for n, _ in colspecs]
 
-    def kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n = int(pdf["n_rows"].iloc[0])
-        data = {}
-        by_col = {r["column"]: r for _, r in pdf.iterrows()}
-        for name in names:
-            row = by_col[name]
-            data[name] = decode_column(bytes(row["payload"]), n, logical_of[name])
-        return pd.DataFrame(data)
+    # Spark's Arrow bridge wants exact types: string (not large_string) and
+    # tz-aware timestamps for TimestampType (session tz is pinned to UTC)
+    _PA_OF_LOGICAL = {
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "timestamp_us": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz_us": pa.timestamp("us"),
+        "string": pa.string(),
+        "double": pa.float64(),
+    }
+
+    def kernel(_key: tuple, tbl: pa.Table) -> pa.Table:
+        n = int(tbl.column("n_rows")[0].as_py())
+        by_col = dict(
+            zip(tbl.column("column").to_pylist(), tbl.column("payload").to_pylist())
+        )
+        arrays = [
+            decode_column_arrow(by_col[name], n, logical_of[name]).cast(
+                _PA_OF_LOGICAL[logical_of[name]]
+            )
+            for name in names
+        ]
+        return pa.Table.from_arrays(arrays, names=names)
 
     chunks = read_chunks(spark, store, columns=names)
     # run_id is part of the chunk identity: streaming commits one run per
     # micro-batch into the same part_ids, so chunk_id alone can collide
-    return chunks.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
+    return chunks.groupBy("part_id", "run_id", "chunk_id").applyInArrow(kernel, out_schema)

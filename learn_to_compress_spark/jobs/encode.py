@@ -71,28 +71,58 @@ def colspecs_of(df: DataFrame, exclude: tuple[str, ...] = ()) -> list[tuple[str,
 
 
 def _encode_one(ser: pd.Series, logical: str) -> tuple[str, bytes, dict]:
-    if logical == "string":
-        import pyarrow.compute as pc
-        import pyarrow as pa
+    """pandas-entry wrapper (tests/profiling); the job kernel uses the
+    Arrow-native `_encode_one_arrow`."""
+    import pyarrow as pa
 
-        name, payload = encode_string_column(ser)
-        lens = pc.binary_length(pa.Array.from_pandas(ser, type=pa.large_string()))
-        raw = int(pc.sum(lens).as_py() or 0)
+    if logical == "string":
+        col = pa.Array.from_pandas(ser, type=pa.large_string())
+    elif logical == "double":
+        col = pa.Array.from_pandas(ser, type=pa.float64())
+    elif logical.startswith("timestamp"):
+        col = pa.Array.from_pandas(ser, type=pa.timestamp("us"))
+    else:
+        col = pa.Array.from_pandas(
+            ser, type=pa.int32() if logical == "int32" else pa.int64()
+        )
+    return _encode_one_arrow(col, logical)
+
+
+def _encode_one_arrow(col, logical: str) -> tuple[str, bytes, dict]:
+    """Encode one Arrow column chunk — no Python objects on the hot path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..select import encode_double_column, encode_int_values, encode_string_column_arrow
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    has_nulls = col.null_count > 0
+    mask = col.is_null().to_numpy(zero_copy_only=False) if has_nulls else None
+    nonnull = col.drop_null() if has_nulls else col
+
+    if logical == "string":
+        name, payload = encode_string_column_arrow(col)
+        raw = int(
+            pc.sum(pc.binary_length(nonnull.cast(pa.large_binary()))).as_py() or 0
+        )
         meta = {}
     elif logical == "double":
-        name, payload = encode_double_column(ser)
-        raw = 8 * int(ser.notna().sum())
+        name, payload = encode_double_column(
+            pd.Series(col.to_numpy(zero_copy_only=False))
+        )
+        raw = 8 * len(nonnull)
         meta = {}
     else:
-        name, payload = encode_int_column(ser, logical)
-        nn = ser.dropna()
-        raw = (4 if logical == "int32" else 8) * len(nn)
-        if len(nn):
+        raw_vals = nonnull.to_numpy(zero_copy_only=False)
+        name, payload = encode_int_values(raw_vals, mask, logical)
+        raw = (4 if logical == "int32" else 8) * len(nonnull)
+        if len(nonnull):
             if logical.startswith("timestamp"):
-                vals = nn.to_numpy().astype("datetime64[us]").view(np.int64)
+                v64 = raw_vals.astype("datetime64[us]").view(np.int64)
             else:
-                vals = nn.to_numpy()
-            meta = {"min": str(int(vals.min())), "max": str(int(vals.max()))}
+                v64 = raw_vals
+            meta = {"min": str(int(v64.min())), "max": str(int(v64.max()))}
         else:
             meta = {}
     meta["raw_bytes"] = str(raw)
@@ -101,28 +131,65 @@ def _encode_one(ser: pd.Series, logical: str) -> tuple[str, bytes, dict]:
 
 
 def _make_kernel(colspecs, chunk_rows, run_id):
-    out_cols = [f.name for f in CHUNK_RUN_SCHEMA.fields]
+    """Arrow-native encode kernel (mapInArrow): RecordBatch slices are
+    zero-copy, string columns never materialize as Python objects."""
+    import pyarrow as pa
+
+    out_type = pa.schema(
+        [
+            pa.field("part_id", pa.int32()),
+            pa.field("chunk_id", pa.int64()),
+            pa.field("column", pa.string()),
+            pa.field("codec", pa.string()),
+            pa.field("n_rows", pa.int32()),
+            pa.field("payload", pa.binary()),
+            pa.field("meta", pa.map_(pa.string(), pa.string())),
+            pa.field("run_id", pa.string()),
+        ]
+    )
 
     def kernel(batches):
         seqs: dict[int, int] = {}
-        for pdf in batches:
-            rows = []
-            # rows are sorted by _part_id: consecutive groups, order preserved
-            for part_id, g in pdf.groupby("_part_id", sort=False):
-                part_id = int(part_id)
-                for start in range(0, len(g), chunk_rows):
-                    sl = g.iloc[start : start + chunk_rows]
+        for rb in batches:
+            parts_np = rb.column(rb.schema.get_field_index("_part_id")).to_numpy(
+                zero_copy_only=False
+            )
+            # rows sorted by _part_id: consecutive groups, order preserved
+            change = np.flatnonzero(parts_np[1:] != parts_np[:-1]) + 1
+            bounds = [0, *change.tolist(), len(rb)]
+            rows = {k: [] for k in ("part_id", "chunk_id", "column", "codec", "n_rows", "payload", "meta")}
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                part_id = int(parts_np[s])
+                for cs in range(s, e, chunk_rows):
+                    sl = rb.slice(cs, min(chunk_rows, e - cs))
                     seq = seqs.get(part_id, 0)
                     if seq >= MAX_CHUNKS_PER_PART:
                         raise RuntimeError("chunk seq overflow; raise num_parts")
                     seqs[part_id] = seq + 1
                     chunk_id = part_id * MAX_CHUNKS_PER_PART + seq
                     for name, logical in colspecs:
-                        codec, payload, meta = _encode_one(sl[name], logical)
-                        rows.append(
-                            (part_id, chunk_id, name, codec, len(sl), payload, meta, run_id)
-                        )
-            yield pd.DataFrame(rows, columns=out_cols)
+                        col = sl.column(sl.schema.get_field_index(name))
+                        codec, payload, meta = _encode_one_arrow(col, logical)
+                        rows["part_id"].append(part_id)
+                        rows["chunk_id"].append(chunk_id)
+                        rows["column"].append(name)
+                        rows["codec"].append(codec)
+                        rows["n_rows"].append(len(sl))
+                        rows["payload"].append(payload)
+                        rows["meta"].append(list(meta.items()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows["part_id"], pa.int32()),
+                    pa.array(rows["chunk_id"], pa.int64()),
+                    pa.array(rows["column"], pa.string()),
+                    pa.array(rows["codec"], pa.string()),
+                    pa.array(rows["n_rows"], pa.int32()),
+                    pa.array(rows["payload"], pa.binary()),
+                    pa.array(rows["meta"], pa.map_(pa.string(), pa.string())),
+                    pa.array([run_id] * len(rows["part_id"]), pa.string()),
+                ],
+                schema=out_type,
+            )
 
     return kernel
 
@@ -168,7 +235,7 @@ def encode_table(
     encoded = (
         work.repartition(num_parts, "_part_id")
         .sortWithinPartitions("_part_id", *key_cols)
-        .mapInPandas(_make_kernel(colspecs, chunk_rows, run_id), schema=out_schema)
+        .mapInArrow(_make_kernel(colspecs, chunk_rows, run_id), schema=out_schema)
     )
     encoded.write.mode("append").parquet(chunks_path(store))
     wall_ms = (time.monotonic() - t0) * 1000

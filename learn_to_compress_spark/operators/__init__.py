@@ -1,3 +1,15 @@
-from .pushdown import count_rows, filter_gt_table, lookup_eq_table, sum_column
+from .pushdown import (
+    count_rows,
+    filter_gt_table,
+    filter_mod_band_table,
+    lookup_eq_table,
+    sum_column,
+)
 
-__all__ = ["sum_column", "filter_gt_table", "lookup_eq_table", "count_rows"]
+__all__ = [
+    "sum_column",
+    "filter_gt_table",
+    "filter_mod_band_table",
+    "lookup_eq_table",
+    "count_rows",
+]

@@ -113,6 +113,54 @@ def filter_gt_table(
     return pruned.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
 
 
+def filter_mod_band_table(
+    spark: SparkSession,
+    store: str,
+    column: str,
+    base: int,
+    lo: int,
+    hi: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """SELECT out_cols WHERE lo < column % base < hi — the periodic band
+    filter (``headers/piecewise_fix_integer_template.h:254-303``, sensor
+    use case). Zone maps cannot prune a modular predicate, so every chunk
+    decodes the filter column once inside the kernel and gathers matches;
+    the reference's per-period model inversion is a micro-optimization we
+    skip (documented divergence)."""
+    colspecs, _ = load_schema(store)
+    logical_of = dict(colspecs)
+    need = list(dict.fromkeys([column] + out_cols))
+    chunks = read_chunks(spark, store, columns=need)
+    out_schema = _decode_schema(colspecs, out_cols)
+
+    def kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = int(pdf["n_rows"].iloc[0])
+        rows = {r["column"]: r for _, r in pdf.iterrows()}
+        lg = logical_of[column]
+        vals = decode_column(bytes(rows[column]["payload"]), n, lg)
+        v64 = (
+            vals.to_numpy().astype("datetime64[us]").view("int64")
+            if lg.startswith("timestamp")
+            else vals.to_numpy().astype("int64")
+        )
+        rem = v64 % base
+        pos = np.flatnonzero((rem > lo) & (rem < hi))
+        data = {}
+        for name in out_cols:
+            p = bytes(rows[name]["payload"])
+            nlg = logical_of[name]
+            if nlg in ("string", "double"):
+                data[name] = decode_column(p, n, nlg).iloc[pos].reset_index(drop=True)
+            else:
+                data[name] = column_gather(p, n, nlg, pos)
+        return pd.DataFrame(data, columns=out_cols)
+
+    return chunks.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
+
+
 def lookup_eq_table(
     spark: SparkSession,
     store: str,

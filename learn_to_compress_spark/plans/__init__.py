@@ -1,0 +1,8 @@
+from .checks import explain_text, pushed_filters, scan_read_schema, wholestage_codegen_spans
+
+__all__ = [
+    "explain_text",
+    "pushed_filters",
+    "scan_read_schema",
+    "wholestage_codegen_spans",
+]

@@ -114,14 +114,7 @@ def int_codec_sizes(vals: np.ndarray, dtype, candidates=None) -> dict[str, float
     if wanted("leco"):
         leco = LecoFixCodec(dtype)
         theta0, theta1 = leco._fit(vals)
-        with np.errstate(invalid="ignore"):
-            pred0 = (theta0 + theta1 * np.arange(n, dtype=np.float64)).astype(np.int64)
-            from .codecs.base import as_signed64
-
-            err = as_signed64(vals) - pred0
-            theta0 += (int(err.max()) + int(err.min())) / 2.0
-            _sign, lmag, _pred = leco._residuals(vals, theta0, theta1)
-        lmax = int(lmag.max()) if n else 0
+        _t0, _sign, _mag, lmax = leco._recenter(vals, theta0, theta1)
         b_leco = bits_int(lmax) + 1 if lmax else 0
         sizes["leco"] = raw_size if b_leco >= w else 17 + sm_payload(n, b_leco)
 
@@ -148,16 +141,16 @@ def _pick_int_codec(vals: np.ndarray, dtype) -> str:
     return min(sizes, key=sizes.get)
 
 
-def encode_int_column(ser: pd.Series, logical: str) -> tuple[str, bytes]:
+def encode_int_values(raw: np.ndarray, mask, logical: str) -> tuple[str, bytes]:
+    """Core int/timestamp framing over non-null values + validity mask.
+
+    ``raw``: the non-null values (datetime64[us] or integer dtype);
+    ``mask``: boolean null mask over the full column, or None."""
     udtype = np.dtype(_UNSIGNED_OF[logical])
     width = udtype.itemsize * 8
     stype = np.dtype(np.int32) if width == 32 else np.dtype(np.int64)
-    mask = ser.isna().to_numpy() if ser.isna().any() else None
-    nonnull = ser.dropna() if mask is not None else ser
     if logical.startswith("timestamp"):
-        raw = nonnull.to_numpy().astype("datetime64[us]").view(np.int64)
-    else:
-        raw = nonnull.to_numpy()
+        raw = raw.astype("datetime64[us]").view(np.int64)
     signed = raw.astype(stype, copy=False)
     vals = signed.view(udtype)  # bit-pattern reinterpretation
     flags = 0
@@ -186,6 +179,12 @@ def encode_int_column(ser: pd.Series, logical: str) -> tuple[str, bytes]:
     parts.append(bytes([CODEC_IDS[name]]))
     parts.append(payload)
     return name, b"".join(parts)
+
+
+def encode_int_column(ser: pd.Series, logical: str) -> tuple[str, bytes]:
+    mask = ser.isna().to_numpy() if ser.isna().any() else None
+    nonnull = ser.dropna() if mask is not None else ser
+    return encode_int_values(nonnull.to_numpy(), mask, logical)
 
 
 def _read_validity(payload: bytes, n: int, flags: int, off: int):
@@ -247,10 +246,14 @@ def _pick_string_codec(arr) -> str:
     return min(sizes, key=sizes.get)
 
 
-def encode_string_column(ser: pd.Series) -> tuple[str, bytes]:
+def encode_string_column_arrow(arr) -> tuple[str, bytes]:
+    """Arrow-native framing: the column never touches Python objects."""
     import pyarrow as pa
 
-    arr = pa.Array.from_pandas(ser, type=pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
     has_nulls = arr.null_count > 0
     nonnull = arr.drop_null().cast(pa.large_binary()) if has_nulls else arr.cast(pa.large_binary())
     flags = _FLAG_NULLS if has_nulls else 0
@@ -263,6 +266,12 @@ def encode_string_column(ser: pd.Series) -> tuple[str, bytes]:
     parts.append(bytes([STRING_CODEC_IDS[name]]))
     parts.append(payload)
     return name, b"".join(parts)
+
+
+def encode_string_column(ser: pd.Series) -> tuple[str, bytes]:
+    import pyarrow as pa
+
+    return encode_string_column_arrow(pa.Array.from_pandas(ser, type=pa.large_string()))
 
 
 def decode_string_column(payload: bytes, n: int) -> pd.Series:
@@ -351,6 +360,93 @@ def column_gather(payload: bytes, n: int, logical: str, positions: np.ndarray):
     if logical.startswith("timestamp"):
         return pd.Series(signed.view("datetime64[us]"))
     return pd.Series(signed)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native decode variants (used by the applyInArrow decode kernel —
+# decoded columns go straight back to the JVM as Arrow buffers)
+# ---------------------------------------------------------------------------
+
+
+def decode_int_column_arrow(payload: bytes, n: int, logical: str):
+    import pyarrow as pa
+
+    udtype = np.dtype(_UNSIGNED_OF[logical])
+    width = udtype.itemsize * 8
+    stype = np.dtype(np.int32) if width == 32 else np.dtype(np.int64)
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    name = CODEC_NAMES[payload[off]]
+    off += 1
+    vals = (
+        int_codec(name, udtype).decode(payload[off:], n_valid)
+        if n_valid
+        else np.empty(0, dtype=udtype)
+    )
+    if flags & _FLAG_SIGNFLIP:
+        vals = vals ^ udtype.type(1 << (width - 1))
+    signed = vals.view(stype)
+    ts = logical.startswith("timestamp")
+    if valid is None:
+        np_out = signed.view("datetime64[us]") if ts else signed
+        return pa.array(np_out)
+    full = np.zeros(n, dtype=stype)
+    full[np.flatnonzero(valid)] = signed
+    np_out = full.view("datetime64[us]") if ts else full
+    return pa.array(np_out, mask=~valid)
+
+
+def decode_string_column_arrow(payload: bytes, n: int, logical: str = "string"):
+    import pyarrow as pa
+
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    name = STRING_CODEC_NAMES[payload[off]]
+    off += 1
+    if n_valid:
+        dense = STRING_CODEC_CLASSES[name]().decode(payload[off:], n_valid)
+    else:
+        dense = pa.array([], type=pa.large_binary())
+    if valid is None:
+        return dense.cast(pa.large_string())
+    # rebuild with validity: null slots get zero-length spans
+    import pyarrow.compute as pc
+
+    lens = pc.binary_length(dense).to_numpy(zero_copy_only=False).astype(np.int64)
+    full_lens = np.zeros(n, dtype=np.int64)
+    full_lens[np.flatnonzero(valid)] = lens
+    offsets = np.concatenate(([0], np.cumsum(full_lens)))
+    doffs = np.frombuffer(dense.buffers()[1], np.int64, count=len(dense) + 1 + dense.offset)
+    start = doffs[dense.offset]
+    end = doffs[dense.offset + len(dense)]
+    blob = dense.buffers()[2].to_pybytes()[start:end] if dense.buffers()[2] else b""
+    validity = np.packbits(valid, bitorder="little")
+    arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [pa.py_buffer(validity.tobytes()), pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
+    )
+    return arr.cast(pa.large_string())
+
+
+def decode_double_column_arrow(payload: bytes, n: int, logical: str = "double"):
+    import pyarrow as pa
+
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    name = CODEC_NAMES[payload[off]]
+    off += 1
+    bits = (
+        int_codec(name, np.uint64).decode(payload[off:], n_valid)
+        if n_valid
+        else np.empty(0, np.uint64)
+    )
+    vals = bits.view(np.float64)
+    if valid is None:
+        return pa.array(vals)
+    full = np.zeros(n, dtype=np.float64)
+    full[np.flatnonzero(valid)] = vals
+    return pa.array(full, mask=~valid)
 
 
 def encode_double_column(ser: pd.Series) -> tuple[str, bytes]:

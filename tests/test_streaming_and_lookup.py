@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from learn_to_compress_spark.jobs import decode_table, encode_table
-from learn_to_compress_spark.operators import lookup_eq_table
+from learn_to_compress_spark.operators import filter_mod_band_table, lookup_eq_table
 from learn_to_compress_spark.sources.transcripts import SCHEMA, transcripts_df
 from learn_to_compress_spark.streaming import encode_stream
 
@@ -54,6 +54,25 @@ def test_lookup_eq(spark, tmp_path):
     got = (
         lookup_eq_table(spark, store, "turn_idx", 7, ["conv_id", "turn_idx"])
         .orderBy("conv_id")
+        .toPandas()
+    )
+    assert len(expect) > 0
+    assert expect.reset_index(drop=True).equals(got.reset_index(drop=True))
+
+
+def test_filter_mod_band(spark, tmp_path):
+    store = str(tmp_path / "band_store")
+    df = transcripts_df(spark, 100, parallelism=2)
+    encode_table(df, store, num_parts=4, chunk_rows=512)
+    expect = (
+        df.filter((F.col("turn_idx") % 8 > 2) & (F.col("turn_idx") % 8 < 6))
+        .select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    got = (
+        filter_mod_band_table(spark, store, "turn_idx", 8, 2, 6, ["conv_id", "turn_idx"])
+        .orderBy("conv_id", "turn_idx")
         .toPandas()
     )
     assert len(expect) > 0

@@ -1,0 +1,191 @@
+"""Compressed-size parity vs the reference's published numbers.
+
+Regenerates the reference's synthetic benchmark datasets (same formulas —
+``scripts/gen_norm.py``, ``scripts/poisson_randomdie.py``) at the same
+block sizes, runs OUR codecs per block, and compares compression ratios
+against the committed logs (``benchmark/fix_int_benchmark_intel.log``,
+``benchmark/auto_int_benchmark_intel.log``; values quoted in BASELINE.md).
+
+Real-world datasets (books/fb/wiki/movieid/ml_timestamp) are not
+regenerable offline and are skipped. The normal dataset uses Acklam's
+rational approximation of the normal PPF (scipy is not in the sandbox) —
+residual widths are insensitive to its <1.2e-9 relative error.
+
+Writes PARITY.md. Usage: python tools/reference_parity.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from learn_to_compress_spark.codecs import int_codec  # noqa: E402
+
+N_REF = 200_000_000  # reference dataset size; we evaluate a deterministic
+SAMPLE_BLOCKS = 2000  # subset of blocks (CR is a per-block property)
+
+
+def linear_block(b: int, block: int) -> np.ndarray:
+    """Block b of linear_200M_uint32 (gen_norm.py:13-18), computed exactly:
+    keys = normalized linspace(0,1,N+2)[1:-1] scaled to uint32."""
+    k = np.arange(b * block, (b + 1) * block, dtype=np.float64)
+    vals = k / (N_REF - 1) * (2**32 - 1)
+    return vals.astype(np.uint32)
+
+
+def _norm_ppf(p: np.ndarray) -> np.ndarray:
+    """Acklam's inverse normal CDF approximation (public domain)."""
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    p = np.asarray(p, dtype=np.float64)
+    out = np.empty_like(p)
+    plow, phigh = 0.02425, 1 - 0.02425
+    lo = p < plow
+    hi = p > phigh
+    mid = ~(lo | hi)
+    q = np.sqrt(-2 * np.log(p[lo]))
+    out[lo] = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+    )
+    q = p[mid] - 0.5
+    r = q * q
+    out[mid] = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )
+    q = np.sqrt(-2 * np.log(1 - p[hi]))
+    out[hi] = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+    )
+    return out
+
+
+_NORM_RANGE = None
+
+
+def normal_block(b: int, block: int) -> np.ndarray:
+    """Block b of normal_200M_uint32 (gen_norm.py:21-33): sorted normal ppf
+    of linspace, min-max scaled to uint32."""
+    global _NORM_RANGE
+    if _NORM_RANGE is None:
+        eps = 1.0 / (N_REF + 1)
+        lo, hi = _norm_ppf(np.array([eps])), _norm_ppf(np.array([1 - eps]))
+        _NORM_RANGE = (float(lo[0]), float(hi[0]))
+    lo, hi = _NORM_RANGE
+    k = np.arange(b * block + 1, (b + 1) * block + 1, dtype=np.float64)
+    z = _norm_ppf(k / (N_REF + 1))
+    vals = (z - lo) / (hi - lo) * (2**32 - 1)
+    return np.clip(vals, 0, 2**32 - 1).astype(np.uint32)
+
+
+def poisson_values(n: int) -> np.ndarray:
+    """Distribution-equivalent regeneration of poisson_randomdie
+    (scripts/poisson_randomdie.py: per event, ~1500-2000 sensors emit
+    cumulative Poisson(2e6) gaps offset by a cumulative Poisson(1e12)
+    event base). The reference script is unseeded; we fix seed 42."""
+    rng = np.random.default_rng(42)
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    outer = 0
+    while pos < n:
+        outer += rng.poisson(1_000_000_000_000)
+        alive = 2000 - rng.integers(0, 501)
+        gaps = rng.poisson(2_000_000, alive).astype(np.uint64)
+        gaps[0] = outer
+        vals = np.cumsum(gaps)
+        take = min(alive, n - pos)
+        out[pos : pos + take] = vals[:take]
+        pos += take
+    return out
+
+
+def our_cr(gen_block, block: int, n_blocks_total: int, codec_name: str, dtype) -> float:
+    """Mean CR over a deterministic sample of blocks (encoded bytes /
+    raw bytes), matching the reference's totalsize/raw accounting."""
+    step = max(n_blocks_total // SAMPLE_BLOCKS, 1)
+    total_enc = 0
+    total_raw = 0
+    codec = int_codec(codec_name, dtype)
+    for b in range(0, n_blocks_total, step):
+        vals = gen_block(b, block)
+        total_enc += len(codec.encode(vals))
+        total_raw += vals.nbytes
+    return total_enc / total_raw
+
+
+def our_cr_array(vals: np.ndarray, block: int, codec_name: str, dtype) -> float:
+    codec = int_codec(codec_name, dtype)
+    total_enc = 0
+    for s in range(0, len(vals), block):
+        total_enc += len(codec.encode(vals[s : s + block]))
+    return total_enc / vals.nbytes
+
+
+def main() -> int:
+    rows = []
+
+    # linear_200M_uint32, 100k blocks (block=2000): ref LeCo_fix 4.486 %,
+    # FOR 50.15 %, Delta 18.83 % (fix_int_benchmark_intel.log:2-4)
+    for codec, ref in [("leco", 4.486), ("for", 50.15), ("delta", 18.83)]:
+        ours = our_cr(linear_block, 2000, 100_000, codec, np.uint32) * 100
+        rows.append(("linear_200M_uint32", codec, ref, ours))
+
+    # LeCo_var on linear: ref 1.457 % with auto segmentation (auto log:3)
+    ours = our_cr(linear_block, 65536, N_REF // 65536, "leco_var", np.uint32) * 100
+    rows.append(("linear_200M_uint32", "leco_var", 1.457, ours))
+
+    # normal_200M_uint32, 100k blocks: ref LeCo_fix 6.703 %
+    ours = our_cr(normal_block, 2000, 100_000, "leco", np.uint32) * 100
+    rows.append(("normal_200M_uint32", "leco", 6.703, ours))
+
+    # poisson_randomdie (~100M u64, ~1M blocks → block≈100):
+    # ref LeCo_fix 30.34 %, FOR 51.83 %, Delta 43.81 % (log:32-34)
+    pv = poisson_values(2_000_000)
+    for codec, ref in [("leco", 30.34), ("for", 51.83), ("delta", 43.81)]:
+        ours = our_cr_array(pv, 100, codec, np.uint64) * 100
+        rows.append(("poisson_randomdie_u64", codec, ref, ours))
+
+    lines = [
+        "# PARITY — compressed size vs reference (same data, same blocks)",
+        "",
+        "Reference CRs from committed logs (see BASELINE.md); our CRs from",
+        "the same generator formulas at the same block sizes (deterministic",
+        f"{SAMPLE_BLOCKS}-block sample where the full set is 100k+ blocks).",
+        "CR = compressed bytes as % of raw. Lower is better; parity target:",
+        "ours ≤ reference.",
+        "",
+        "| dataset | codec | reference CR % | ours CR % | ≤ ref |",
+        "|---|---|---|---|---|",
+    ]
+    ok_all = True
+    for ds, codec, ref, ours in rows:
+        ok = ours <= ref * 1.005  # allow 0.5 % relative slack for sampling
+        ok_all &= ok
+        lines.append(f"| {ds} | {codec} | {ref:.3f} | {ours:.3f} | {'✓' if ok else '✗'} |")
+        print(f"{ds:24s} {codec:8s} ref={ref:7.3f}% ours={ours:7.3f}% {'OK' if ok else 'WORSE'}")
+    lines += [
+        "",
+        "Not regenerable offline (skipped): books/fb/wiki (SOSD real data),",
+        "movieid, ml_timestamp. The noisy_stepwise and poisson generators are",
+        "unseeded in the reference; ours fixes seed 42 (distribution-equal).",
+        "",
+        "Generated by `python tools/reference_parity.py`.",
+    ]
+    with open(os.path.join(REPO, "PARITY.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("PARITY.md written;", "ALL ≤ reference" if ok_all else "SOME WORSE")
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
