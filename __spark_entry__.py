@@ -45,7 +45,9 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
-def _store_for(spark: SparkSession, sf_dir: str, table: str) -> str:
+def _store_for(
+    spark: SparkSession, sf_dir: str, table: str, selection: str = "exact"
+) -> str:
     """Encode ``table`` into a cached chunk store (resume makes this a no-op
     when the store is already committed)."""
     _prep(spark)
@@ -54,13 +56,15 @@ def _store_for(spark: SparkSession, sf_dir: str, table: str) -> str:
     from learn_to_compress_spark.sources.session import package_digest
 
     key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}::{table}::{package_digest()}".encode()
+        f"{os.path.abspath(sf_dir)}::{table}::{selection}::{package_digest()}".encode()
     ).hexdigest()[:16]
     store = os.path.join(_STORE_ROOT, key, table)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     # testdata is small; 16 parts keeps tiny-table stages sane even under a
     # driver session with 200 default shuffle partitions
-    encode_table(df, store, key_cols=_KEYS[table], num_parts=16, resume=True)
+    encode_table(
+        df, store, key_cols=_KEYS[table], num_parts=16, resume=True, selection=selection
+    )
     return store
 
 
@@ -187,6 +191,28 @@ def _mod_band_query():
     return fn
 
 
+def _bitmap_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import select_bitmap_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return select_bitmap_table(
+            spark, store, "event_id", 97, 0, ["event_id", "user_id", "ts"]
+        )
+
+    return fn
+
+
+def _learned_decode_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.jobs import decode_table
+
+        store = _store_for(spark, sf_dir, "events", selection="learned")
+        return decode_table(spark, store).select("event_id", "ts", "user_id", "value")
+
+    return fn
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {
         # scan→encode→store→decode roundtrips (ops #1-25 via auto-selection)
@@ -217,6 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_events_userid_eq": _lookup_eq_query(),
         # modular band filter (op #29)
         "filter_events_userid_mod_band": _mod_band_query(),
+        # selective decode under a bitmap, density-adaptive (op #31)
+        "bitmap_decode_events": _bitmap_query(),
+        # CART learned codec selection (op #37): full encode→decode roundtrip
+        # with the learned selector choosing every int codec
+        "decode_events_learned": _learned_decode_query(),
     }
     from queries_pipeline import pipeline_queries
 
@@ -252,6 +283,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id FROM events "
             "WHERE user_id % 16 > 3 AND user_id % 16 < 8"
         ),
+        "bitmap_decode_events": (
+            "SELECT event_id, user_id, ts FROM events WHERE event_id % 97 = 0"
+        ),
+        "decode_events_learned": "SELECT event_id, ts, user_id, value FROM events",
     }
     from queries_pipeline import pipeline_oracle_sql
 

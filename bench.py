@@ -50,8 +50,11 @@ def main() -> int:
         return _T()
 
     # --- transcripts: the north-star table (~sf-scaled turns) ---
+    # materialize the synthetic input to parquet FIRST (untimed) so the
+    # encode timing measures the engine, not the generator
     n_convs = max(int(200_000 * sf), 2000)
-    tdf = transcripts_df(spark, n_convs)
+    transcripts_df(spark, n_convs).write.mode("overwrite").parquet(f"{work}/transcripts_raw")
+    tdf = spark.read.parquet(f"{work}/transcripts_raw")
     with timed("encode_transcripts"):
         m = encode_table(tdf, f"{work}/transcripts", resume=False)
     extra["transcript_rows"] = m["rows"]

@@ -9,6 +9,7 @@ from .base import IntCodec
 from .dict_ import DictCodec
 from .intcodecs import DeltaCodec, ForCodec, LecoFixCodec, RawCodec, RleCodec
 from .leco_var import LecoVarCodec
+from .poly import Poly2Codec
 
 INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "raw": RawCodec,
@@ -18,11 +19,13 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "rle": RleCodec,
     "dict": DictCodec,
     "leco_var": LecoVarCodec,
+    "poly2": Poly2Codec,
 }
 
 # stable ids for embedding a codec choice inside payloads / chunk meta
+# (append-only: ids are persisted inside chunk payloads)
 CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
-    ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var"]
+    ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2"]
 )}
 CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
 

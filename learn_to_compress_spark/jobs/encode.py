@@ -88,7 +88,7 @@ def _encode_one(ser: pd.Series, logical: str) -> tuple[str, bytes, dict]:
     return _encode_one_arrow(col, logical)
 
 
-def _encode_one_arrow(col, logical: str) -> tuple[str, bytes, dict]:
+def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str, bytes, dict]:
     """Encode one Arrow column chunk — no Python objects on the hot path."""
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -115,7 +115,7 @@ def _encode_one_arrow(col, logical: str) -> tuple[str, bytes, dict]:
         meta = {}
     else:
         raw_vals = nonnull.to_numpy(zero_copy_only=False)
-        name, payload = encode_int_values(raw_vals, mask, logical)
+        name, payload = encode_int_values(raw_vals, mask, logical, selection)
         raw = (4 if logical == "int32" else 8) * len(nonnull)
         if len(nonnull):
             if logical.startswith("timestamp"):
@@ -130,7 +130,7 @@ def _encode_one_arrow(col, logical: str) -> tuple[str, bytes, dict]:
     return name, payload, meta
 
 
-def _make_kernel(colspecs, chunk_rows, run_id):
+def _make_kernel(colspecs, chunk_rows, run_id, selection="exact"):
     """Arrow-native encode kernel (mapInArrow): RecordBatch slices are
     zero-copy, string columns never materialize as Python objects."""
     import pyarrow as pa
@@ -169,7 +169,7 @@ def _make_kernel(colspecs, chunk_rows, run_id):
                     chunk_id = part_id * MAX_CHUNKS_PER_PART + seq
                     for name, logical in colspecs:
                         col = sl.column(sl.schema.get_field_index(name))
-                        codec, payload, meta = _encode_one_arrow(col, logical)
+                        codec, payload, meta = _encode_one_arrow(col, logical, selection)
                         rows["part_id"].append(part_id)
                         rows["chunk_id"].append(chunk_id)
                         rows["column"].append(name)
@@ -203,6 +203,7 @@ def encode_table(
     salt_block: int = 1 << 16,
     resume: bool = True,
     run_id: str | None = None,
+    selection: str = "exact",
 ) -> dict:
     """Encode ``df`` into the chunk store; returns job metrics.
 
@@ -235,7 +236,7 @@ def encode_table(
     encoded = (
         work.repartition(num_parts, "_part_id")
         .sortWithinPartitions("_part_id", *key_cols)
-        .mapInArrow(_make_kernel(colspecs, chunk_rows, run_id), schema=out_schema)
+        .mapInArrow(_make_kernel(colspecs, chunk_rows, run_id, selection), schema=out_schema)
     )
     encoded.write.mode("append").parquet(chunks_path(store))
     wall_ms = (time.monotonic() - t0) * 1000

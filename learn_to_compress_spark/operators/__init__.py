@@ -2,6 +2,7 @@ from .pushdown import (
     count_rows,
     filter_gt_table,
     filter_mod_band_table,
+    select_bitmap_table,
     lookup_eq_table,
     sum_column,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "sum_column",
     "filter_gt_table",
     "filter_mod_band_table",
+    "select_bitmap_table",
     "lookup_eq_table",
     "count_rows",
 ]

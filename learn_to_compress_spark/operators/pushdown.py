@@ -161,6 +161,57 @@ def filter_mod_band_table(
     return chunks.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
 
 
+def select_bitmap_table(
+    spark: SparkSession,
+    store: str,
+    bitmap_col: str,
+    base: int,
+    rem: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """Selective decode under a selection bitmap (operator #31,
+    ``experiments/test_bitmap.cpp:116-165``; bitmaps generated at selectivity
+    p by ``scripts/gen_bitmap.py``).
+
+    The bitmap is the set of rows with ``bitmap_col % base == rem`` —
+    materialized per chunk by decoding the (cheap) bitmap column once; the
+    projected ``out_cols`` are then decoded ONLY at set positions via the
+    codec gather kernels, switching to full-block decode above the ~0.2
+    density threshold the reference measured (density-adaptive hybrid,
+    ``test_bitmap.cpp:131-165`` — implemented in ``select.column_gather``).
+    """
+    colspecs, _ = load_schema(store)
+    logical_of = dict(colspecs)
+    need = list(dict.fromkeys([bitmap_col] + out_cols))
+    chunks = read_chunks(spark, store, columns=need)
+    out_schema = _decode_schema(colspecs, out_cols)
+
+    def kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = int(pdf["n_rows"].iloc[0])
+        rows = {r["column"]: r for _, r in pdf.iterrows()}
+        lg = logical_of[bitmap_col]
+        vals = decode_column(bytes(rows[bitmap_col]["payload"]), n, lg)
+        v64 = (
+            vals.to_numpy().astype("datetime64[us]").view("int64")
+            if lg.startswith("timestamp")
+            else vals.to_numpy().astype("int64")
+        )
+        pos = np.flatnonzero(v64 % base == rem)  # the selection vector
+        data = {}
+        for name in out_cols:
+            p = bytes(rows[name]["payload"])
+            nlg = logical_of[name]
+            if nlg in ("string", "double"):
+                data[name] = decode_column(p, n, nlg).iloc[pos].reset_index(drop=True)
+            else:
+                data[name] = column_gather(p, n, nlg, pos)
+        return pd.DataFrame(data, columns=out_cols)
+
+    return chunks.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
+
+
 def lookup_eq_table(
     spark: SparkSession,
     store: str,

@@ -141,11 +141,16 @@ def _pick_int_codec(vals: np.ndarray, dtype) -> str:
     return min(sizes, key=sizes.get)
 
 
-def encode_int_values(raw: np.ndarray, mask, logical: str) -> tuple[str, bytes]:
+def encode_int_values(
+    raw: np.ndarray, mask, logical: str, selection: str = "exact"
+) -> tuple[str, bytes]:
     """Core int/timestamp framing over non-null values + validity mask.
 
     ``raw``: the non-null values (datetime64[us] or integer dtype);
-    ``mask``: boolean null mask over the full column, or None."""
+    ``mask``: boolean null mask over the full column, or None.
+    ``selection``: "exact" (analytic min-size, default) or "learned" (CART
+    over block features, operator #37 — constant-time selection, no
+    poly2/leco_var races)."""
     udtype = np.dtype(_UNSIGNED_OF[logical])
     width = udtype.itemsize * 8
     stype = np.dtype(np.int32) if width == 32 else np.dtype(np.int64)
@@ -160,14 +165,44 @@ def encode_int_values(raw: np.ndarray, mask, logical: str) -> tuple[str, bytes]:
         # order-preserving map into unsigned space: flip the sign bit
         flags |= _FLAG_SIGNFLIP
         vals = vals ^ udtype.type(1 << (width - 1))
-    name = _pick_int_codec(vals, udtype) if vals.size else "raw"
+    if not vals.size:
+        name = "raw"
+    elif selection == "learned":
+        from .learned import pick_int_codec_learned
+
+        name = pick_int_codec_learned(vals)
+    else:
+        name = _pick_int_codec(vals, udtype)
     payload = int_codec(name, udtype).encode(vals) if vals.size else b""
+    if selection == "learned":
+        parts = [bytes([flags])]
+        if mask is not None:
+            parts.append(np.packbits(~mask, bitorder="little").tobytes())
+        parts.append(bytes([CODEC_IDS[name]]))
+        parts.append(payload)
+        return name, b"".join(parts)
+    # Poly2 (operator #16, nonlinear_fix) joins the race only where the best
+    # linear model left room — curvature is exactly what it fixes; its
+    # analytic size is one extra vector pass (gated, so the common linear
+    # case never pays for it)
+    if (
+        vals.size >= 256
+        and name in ("leco", "for", "delta")
+        and len(payload) > 0.02 * vals.nbytes
+    ):
+        from .codecs.poly import Poly2Codec
+
+        p2 = Poly2Codec(udtype)
+        if p2.size_bytes(vals) < len(payload):
+            cand = p2.encode(vals)
+            if len(cand) < len(payload):
+                name, payload = "poly2", cand
     # LeCo_var (segmentation) has no closed-form size; try it only where it
     # can plausibly win — a modelable column whose best fixed codec is still
     # mediocre — and keep the smaller payload (operator #10)
     if (
         vals.size >= 4096
-        and name in ("leco", "for", "delta")
+        and name in ("leco", "for", "delta", "poly2")
         and len(payload) > 0.05 * vals.nbytes
     ):
         var_payload = int_codec("leco_var", udtype).encode(vals)

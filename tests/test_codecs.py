@@ -154,3 +154,66 @@ def test_string_column_framing_nulls():
     name, payload = encode_string_column(ser)
     out = decode_string_column(payload, len(ser))
     assert list(out) == ["run", None, "run", "walk", None, "run"]
+
+
+# ---------------------------------------------------------------------------
+# poly2 (operator #16) and learned selection (operator #37)
+# ---------------------------------------------------------------------------
+
+
+def test_poly2_wins_on_quadratic():
+    from learn_to_compress_spark.codecs.intcodecs import LecoFixCodec
+    from learn_to_compress_spark.codecs.poly import Poly2Codec
+
+    n = 4096
+    x = np.arange(n, dtype=np.float64)
+    y = (0.002 * x * x + 5 * x + 100 + RNG.integers(-3, 4, n)).astype(np.uint64)
+    p2 = Poly2Codec(np.uint64)
+    payload = p2.encode(y)
+    assert np.array_equal(p2.decode(payload, n), y)
+    assert len(payload) < len(LecoFixCodec(np.uint64).encode(y))
+    # analytic size matches the encoded size
+    assert p2.size_bytes(y) == len(payload)
+
+
+def test_poly2_framed_selection():
+    n = 4096
+    x = np.arange(n, dtype=np.float64)
+    vals = (0.001 * x * x + 3 * x).astype(np.int64)
+    from learn_to_compress_spark.select import encode_int_values
+
+    name, payload = encode_int_values(vals, None, "int64")
+    assert name == "poly2"
+    assert np.array_equal(decode_int_column(payload, n, "int64").to_numpy(), vals)
+
+
+def test_learned_selector_accuracy_and_regret():
+    """CART picks near-optimal codecs on held-out reference-shaped blocks
+    (``experiments/predict_compress_accuracy.cpp:86-117`` analogue)."""
+    from learn_to_compress_spark.learned import (
+        _LABELS,
+        CartTree,
+        training_blocks,
+    )
+    from learn_to_compress_spark.select import int_codec_sizes
+
+    X, y, blocks = training_blocks(n_per_kind=40)
+    tree = CartTree().fit(X[::2], y[::2])
+    pred = np.array([tree.predict_one(x) for x in X[1::2]])
+    acc = float((pred == y[1::2]).mean())
+    assert acc >= 0.75, acc
+    regret = []
+    for b, p in zip(blocks[1::2], pred):
+        sizes = int_codec_sizes(b.view(np.uint64), np.uint64)
+        regret.append(sizes[_LABELS[p]] / min(sizes.values()))
+    assert float(np.mean(regret)) < 1.15
+
+
+def test_learned_framing_roundtrip():
+    from learn_to_compress_spark.select import encode_int_values
+
+    n = 5000
+    vals = (7 * np.arange(n) + RNG.integers(-5, 6, n)).astype(np.int64)
+    name, payload = encode_int_values(vals, None, "int64", selection="learned")
+    assert name in ("leco", "delta", "for")
+    assert np.array_equal(decode_int_column(payload, n, "int64").to_numpy(), vals)

@@ -151,3 +151,34 @@ def test_codec_shares_make_sense(spark, store):
     assert role_codecs.get("str_dict", 0) > 0
     turn = shares.loc["turn_idx"]
     assert turn.get("leco", 0) + turn.get("delta", 0) + turn.get("for", 0) > 0
+
+
+def test_bitmap_selective_decode(spark, store):
+    """Operator #31: selective decode under a modular bitmap equals the
+    DataFrame filter over the raw table."""
+    from learn_to_compress_spark.operators import select_bitmap_table
+
+    got = (
+        select_bitmap_table(spark, store, "turn_idx", 7, 2, ["conv_id", "turn_idx"])
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    raw = transcripts_df(spark, 300, parallelism=4)
+    want = (
+        raw.filter(F.col("turn_idx") % 7 == 2)
+        .select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_learned_selection_encode_roundtrip(spark, tmp_path):
+    """Operator #37 end-to-end: the CART selector drives codec choice inside
+    the encode job; decode is still bit-identical."""
+    path = str(tmp_path / "learned_store")
+    df = transcripts_df(spark, 120, parallelism=4)
+    encode_table(df, path, chunk_rows=CHUNK_ROWS, num_parts=4, selection="learned")
+    raw = _collect_sorted(df)
+    dec = _collect_sorted(decode_table(spark, path))
+    pd.testing.assert_frame_equal(dec, raw)
