@@ -232,3 +232,182 @@ class WordDictCodec:
 STRING_CODEC_CLASSES = {
     c.name: c for c in (StrRawCodec, FsstStringCodec, DictStringCodec, WordDictCodec)
 }
+
+
+class LecoStringCodec:
+    """LeCo-string, uint64 rung (operator #24, ``headers/string/leco_string.h:70-183``).
+
+    Reference recipe: strip the block-common prefix
+    (``extract_common_prefix`` ``leco_string.h:19-41``), pad to the block max
+    length (``Padding_string`` ``:50-68``), reinterpret each padded string as
+    a base-K integer over the block's observed alphabet
+    (``convertToASCII_subset`` ``string_utils.h:122-133``; base-256
+    ``convertToASCII`` ``:81-93`` when the alphabet is wide), fit a model
+    over those integers and store bit-packed residuals plus per-row original
+    lengths. The reference ladders uint64/uint128/uint256 by padded length
+    (``experiments/leco_string_subset.cpp:108-133``); we implement the uint64
+    rung — with the subset alphabet that covers e.g. 19-digit decimal
+    suffixes — as a pure composition: rank matrix → Horner base-K → uint64
+    column → the engine's own int-codec race (leco/for/delta/raw). The
+    128/256 rungs are out of scope per the north star (wide strings go to
+    FSST/dict via the cost model). All steps are numpy matrix ops; no
+    per-row Python.
+
+    Layout: ``plen:u8 | prefix | padded_len:u8 | alpha_len:u16 | alphabet |
+    lens sub-block | values sub-block`` (``alpha_len=0`` → base-256 mode).
+    """
+
+    name = "leco_str"
+
+    @staticmethod
+    def _common_prefix(arr: pa.Array) -> bytes:
+        """Common prefix of all rows == common prefix of the lexicographic
+        min and max (two driver-side strings, everything else is C++)."""
+        mm = pc.min_max(arr)
+        lo, hi = mm["min"].as_py() or b"", mm["max"].as_py() or b""
+        p = 0
+        for a, b in zip(lo, hi):
+            if a != b:
+                break
+            p += 1
+        return lo[:p]
+
+    @staticmethod
+    def _plan(arr: pa.Array):
+        """(prefix, padded_len, alphabet|None) if the block fits the uint64
+        rung, else None. Alphabet mode needs K^L ≤ 2^63 (Horner-safe)."""
+        n = len(arr)
+        if n == 0:
+            return None
+        prefix = LecoStringCodec._common_prefix(arr)
+        p = len(prefix)
+        if p > 255:
+            return None
+        mx = pc.max(pc.binary_length(arr)).as_py() or 0
+        padded = mx - p
+        if padded <= 0 or padded > 64:
+            return None
+        if padded <= 7:  # 256^7 < 2^63: plain base-256, no alphabet table
+            return prefix, padded, None
+        # subset alphabet: unique bytes over the post-prefix suffixes
+        blob, ends = _blob_and_ends(arr)
+        buf = np.frombuffer(blob, np.uint8)
+        starts = np.concatenate(([0], ends[:-1]))
+        keep = np.ones(buf.size, dtype=bool)
+        if p:
+            pidx = (starts[:, None] + np.arange(p, dtype=np.int64)[None, :]).ravel()
+            keep[pidx] = False
+        alpha = np.unique(buf[keep])
+        K = len(alpha) + 1
+        if padded * np.log2(K) > 63:
+            return None
+        return prefix, padded, alpha
+
+    @staticmethod
+    def eligible(arr) -> bool:
+        return LecoStringCodec._plan(_as_binary_array(arr)) is not None
+
+    @staticmethod
+    def _suffix_matrix(arr: pa.Array, p: int, padded: int):
+        blob, ends = _blob_and_ends(arr)
+        buf = np.frombuffer(blob, np.uint8)
+        lens = np.diff(np.concatenate(([0], ends)))
+        rem = lens - p
+        starts = np.concatenate(([0], ends[:-1])) + p
+        col = np.arange(padded, dtype=np.int64)
+        idx = starts[:, None] + col[None, :]
+        mask = col[None, :] < rem[:, None]
+        mat = np.zeros((len(arr), padded), dtype=np.uint8)
+        mat[mask] = buf[np.where(mask, idx, 0)[mask]]
+        return mat, mask, lens
+
+    def encode(self, strs) -> bytes:
+        arr = _as_binary_array(strs)
+        n = len(arr)
+        plan = self._plan(arr)
+        if plan is None:
+            raise ValueError("block not eligible for leco_str (uint64 rung)")
+        prefix, padded, alpha = plan
+        p = len(prefix)
+        mat, mask, lens = self._suffix_matrix(arr, p, padded)
+        if alpha is None:
+            ranks = mat.astype(np.uint64) + 1  # pad slots stay 0 below
+            ranks[~mask] = 0
+            K = np.uint64(257)
+        else:
+            ranks = (np.searchsorted(alpha, mat) + 1).astype(np.uint64)
+            ranks[~mask] = 0
+            K = np.uint64(len(alpha) + 1)
+        vals = np.zeros(n, dtype=np.uint64)
+        for j in range(padded):  # Horner over ≤64 columns, vectorized rows
+            vals = vals * K + ranks[:, j]
+        from ..select import int_codec_sizes
+        from . import CODEC_IDS, int_codec
+
+        sizes = int_codec_sizes(vals, np.uint64, candidates=("leco", "for", "delta", "raw"))
+        inner = min(sizes, key=sizes.get)
+        vpay = int_codec(inner, np.uint64).encode(vals)
+        # segmentation race, same gate as the int framing (operator #10)
+        if n >= 4096 and inner in ("leco", "for", "delta") and len(vpay) > 0.05 * vals.nbytes:
+            var = int_codec("leco_var", np.uint64).encode(vals)
+            if len(var) < len(vpay):
+                inner, vpay = "leco_var", var
+        return b"".join(
+            [
+                bytes([p]),
+                bytes(prefix),
+                bytes([padded]),
+                struct.pack("<H", 0 if alpha is None else len(alpha)),
+                b"" if alpha is None else alpha.tobytes(),
+                _encode_ints_best(lens.astype(np.uint64)),
+                bytes([CODEC_IDS[inner]]),
+                struct.pack("<Q", len(vpay)),
+                vpay,
+            ]
+        )
+
+    def decode(self, payload: bytes, n: int) -> pa.Array:
+        from . import CODEC_NAMES, int_codec
+
+        if n == 0:
+            return pa.array([], type=pa.large_binary())
+        p = payload[0]
+        prefix = np.frombuffer(payload, np.uint8, count=p, offset=1)
+        padded = payload[1 + p]
+        (alpha_len,) = struct.unpack_from("<H", payload, 2 + p)
+        off = 4 + p
+        alpha = None
+        if alpha_len:
+            alpha = np.frombuffer(payload, np.uint8, count=alpha_len, offset=off)
+            off += alpha_len
+        lens_u, off = _decode_ints_best(payload, off, n)
+        lens = lens_u.astype(np.int64)
+        inner = CODEC_NAMES[payload[off]]
+        (ln,) = struct.unpack_from("<Q", payload, off + 1)
+        vals = int_codec(inner, np.uint64).decode(payload[off + 9 : off + 9 + ln], n).copy()
+        K = np.uint64(257 if alpha is None else alpha_len + 1)
+        # peel base-K digits right-to-left
+        ranks = np.empty((n, padded), dtype=np.uint64)
+        for j in range(padded - 1, -1, -1):
+            ranks[:, j] = vals % K
+            vals //= K
+        if alpha is None:
+            mat = (ranks - 1).astype(np.uint8)  # pad slots masked out below
+        else:
+            lut = np.concatenate(([0], alpha)).astype(np.uint8)
+            mat = lut[ranks]
+        rem = lens - p
+        col = np.arange(padded, dtype=np.int64)
+        mask = col[None, :] < rem[:, None]
+        ends = np.cumsum(lens)
+        out = np.empty(int(ends[-1]) if n else 0, dtype=np.uint8)
+        starts = ends - lens
+        if p:
+            pidx = starts[:, None] + np.arange(p, dtype=np.int64)[None, :]
+            out[pidx.ravel()] = np.tile(prefix, n)
+        sidx = (starts + p)[:, None] + col[None, :]
+        out[sidx[mask]] = mat[mask]
+        return _from_blob(out.tobytes(), ends)
+
+
+STRING_CODEC_CLASSES[LecoStringCodec.name] = LecoStringCodec

@@ -204,6 +204,7 @@ def encode_table(
     resume: bool = True,
     run_id: str | None = None,
     selection: str = "exact",
+    shuffle_width: int | None = None,
 ) -> dict:
     """Encode ``df`` into the chunk store; returns job metrics.
 
@@ -214,7 +215,12 @@ def encode_table(
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     if num_parts is None:
-        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # logical commit units = 4× the shuffle width: repartition() routes
+        # part_ids to tasks by murmur3, and with a 1:1 domain ~1/e of the
+        # tasks land empty while others get doubled (observed 14/32 empty);
+        # a 4× domain gives every task ~4 parts and bounds the straggler
+        # ratio, and finer parts also mean finer resume granularity
+        num_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     colspecs = colspecs_of(df)
 
     first_key = key_cols[0]
@@ -233,8 +239,10 @@ def encode_table(
 
     t0 = time.monotonic()
     out_schema = CHUNK_RUN_SCHEMA
+    if shuffle_width is None:
+        shuffle_width = max(1, num_parts // 4)
     encoded = (
-        work.repartition(num_parts, "_part_id")
+        work.repartition(shuffle_width, "_part_id")
         .sortWithinPartitions("_part_id", *key_cols)
         .mapInArrow(_make_kernel(colspecs, chunk_rows, run_id, selection), schema=out_schema)
     )

@@ -26,6 +26,7 @@ from .codecs.strings import (
     STRING_CODEC_CLASSES,
     DictStringCodec,
     FsstStringCodec,
+    LecoStringCodec,
     StrRawCodec,
     WordDictCodec,
 )
@@ -41,7 +42,7 @@ _UNSIGNED_OF = {
     "timestamp_ntz_us": np.uint64,
 }
 
-STRING_CODEC_IDS = {"str_raw": 16, "fsst": 17, "str_dict": 18, "word_dict": 19}
+STRING_CODEC_IDS = {"str_raw": 16, "fsst": 17, "str_dict": 18, "word_dict": 19, "leco_str": 20}
 STRING_CODEC_NAMES = {v: k for k, v in STRING_CODEC_IDS.items()}
 
 STR_SAMPLE_ROWS = 512  # strings keep sampling: FSST size has no closed form
@@ -268,6 +269,11 @@ def _pick_string_codec(arr) -> str:
     import pyarrow as pa
 
     cands = [DictStringCodec(), WordDictCodec(), FsstStringCodec(), StrRawCodec()]
+    # LeCo-string (op #24) joins the race only for blocks on its uint64 rung
+    # (short strings after common-prefix strip); eligibility is checked on
+    # the FULL chunk so a sample never over-promises
+    if LecoStringCodec.eligible(arr):
+        cands.append(LecoStringCodec())
     n = len(arr)
     if n <= 2048:
         sizes = {c.name: len(c.encode(arr)) for c in cands}

@@ -16,6 +16,37 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CHUNK_ROWS = 65536
 
+_MALLOC_BIG = str(1 << 30)
+
+
+def tune_malloc() -> None:
+    """Keep large buffers inside the reused glibc heap.
+
+    The encode/decode kernels allocate multi-MB numpy buffers per column
+    chunk. glibc serves >128 KB requests via mmap and returns them to the OS
+    on free, so EVERY chunk re-faults its pages; on virtualized hosts with
+    slow first-touch faults (this sandbox: ~140 µs/page) that multiplies
+    kernel time by ~5-20×. Raising the mmap/trim thresholds makes the heap
+    retain and reuse those pages — each worker pays the fault cost once.
+
+    Applied three ways: ``mallopt`` for the current process, environment for
+    the forked JVM → python workers, and (in :func:`get_spark`)
+    ``spark.executorEnv.*`` for real cluster deployments.
+    """
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", _MALLOC_BIG)
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", _MALLOC_BIG)
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platform: env vars still cover child processes
+
+
+tune_malloc()
+
 
 def get_spark(
     master: str | None = None,
@@ -40,11 +71,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
-        .config("spark.sql.files.maxPartitionBytes", "268435456")
+        # 64 MB scan splits: at bench scale (~2 GB input) this yields ≈ one
+        # scan task per core; on a cluster it is simply Spark's default ÷2
+        .config("spark.sql.files.maxPartitionBytes", "67108864")
         # single-JVM local mode runs every task in the driver: size the heap
         # for 32 concurrent task buffers, not for a thin coordinator
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # worker-side malloc tuning (see tune_malloc): without it every
+        # column-chunk buffer is a fresh mmap whose page faults dominate
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", _MALLOC_BIG)
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", _MALLOC_BIG)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -217,3 +217,55 @@ def test_learned_framing_roundtrip():
     name, payload = encode_int_values(vals, None, "int64", selection="learned")
     assert name in ("leco", "delta", "for")
     assert np.array_equal(decode_int_column(payload, n, "int64").to_numpy(), vals)
+
+
+# ---------------------------------------------------------------------------
+# LeCo-string, uint64 rung (operator #24)
+# ---------------------------------------------------------------------------
+
+
+def test_leco_string_roundtrip_and_wins_on_sorted_ids():
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings import (
+        DictStringCodec,
+        LecoStringCodec,
+    )
+
+    strs = [f"id-{i:08d}".encode() for i in range(0, 40000, 7)]
+    arr = pa.array(strs, pa.large_binary())
+    assert LecoStringCodec.eligible(arr)
+    c = LecoStringCodec()
+    payload = c.encode(arr)
+    assert c.decode(payload, len(strs)).cast(pa.large_binary()).to_pylist() == strs
+    assert len(payload) < len(DictStringCodec().encode(arr))
+
+
+def test_leco_string_ragged_and_empty_rows():
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings import LecoStringCodec
+
+    strs = [b"conv-1", b"conv-22", b"conv-333", b"conv-4444", b"conv-"]
+    arr = pa.array(strs, pa.large_binary())
+    c = LecoStringCodec()
+    assert c.decode(c.encode(arr), len(strs)).cast(pa.large_binary()).to_pylist() == strs
+
+
+def test_leco_string_ineligible_for_long_blocks():
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings import LecoStringCodec
+
+    arr = pa.array([b"x" * 40, b"y" * 30], pa.large_binary())
+    assert not LecoStringCodec.eligible(arr)
+
+
+def test_leco_string_selected_via_framing():
+    from learn_to_compress_spark.select import encode_string_column
+
+    ser = pd.Series([f"k{i:07d}" for i in range(5000)])
+    name, payload = encode_string_column(ser)
+    assert name == "leco_str"
+    out = decode_string_column(payload, len(ser))
+    assert list(out) == list(ser)
