@@ -30,9 +30,11 @@ def run_job(master: str, input_path: str, store: str) -> dict:
 
     spark = get_spark(master, shuffle_partitions=NUM_PARTS)
     try:
-        # warm the python workers so spawn cost doesn't skew either level
-        spark.range(0, 1024, 1, 64).mapInPandas(lambda it: it, "id long").count()
         df = spark.read.parquet(input_path)
+        # warm the python workers with a real encode slice (untimed): faults
+        # in each worker's buffer pools once, the cost a long-running
+        # cluster amortizes — both levels get the same treatment
+        encode_table(df.limit(400_000), store + "_warm", resume=False, num_parts=NUM_PARTS)
         t0 = time.monotonic()
         m = encode_table(df, store, resume=False, num_parts=NUM_PARTS)
         t_enc = time.monotonic() - t0

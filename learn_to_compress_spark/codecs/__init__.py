@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from .base import IntCodec
+from .delta_var import DeltaVarCodec
 from .dict_ import DictCodec
 from .intcodecs import DeltaCodec, ForCodec, LecoFixCodec, RawCodec, RleCodec
 from .leco_var import LecoVarCodec
@@ -20,12 +21,13 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "dict": DictCodec,
     "leco_var": LecoVarCodec,
     "poly2": Poly2Codec,
+    "delta_var": DeltaVarCodec,
 }
 
 # stable ids for embedding a codec choice inside payloads / chunk meta
 # (append-only: ids are persisted inside chunk payloads)
 CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
-    ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2"]
+    ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2", "delta_var"]
 )}
 CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
 

@@ -198,17 +198,24 @@ def encode_int_values(
             cand = p2.encode(vals)
             if len(cand) < len(payload):
                 name, payload = "poly2", cand
-    # LeCo_var (segmentation) has no closed-form size; try it only where it
+    # Variable segmentation has no closed-form size; try it only where it
     # can plausibly win — a modelable column whose best fixed codec is still
-    # mediocre — and keep the smaller payload (operator #10)
+    # mediocre — and keep the smaller payload. LeCo_var (operator #10) races
+    # always; Delta_var (operator #13) only when fixed delta was the winner,
+    # mirroring the reference's separate delta_cost codec.
     if (
         vals.size >= 4096
         and name in ("leco", "for", "delta", "poly2")
         and len(payload) > 0.05 * vals.nbytes
     ):
+        fixed_name = name
         var_payload = int_codec("leco_var", udtype).encode(vals)
         if len(var_payload) < len(payload):
             name, payload = "leco_var", var_payload
+        if fixed_name == "delta":
+            dv = int_codec("delta_var", udtype).encode(vals)
+            if len(dv) < len(payload):
+                name, payload = "delta_var", dv
     parts = [bytes([flags])]
     if mask is not None:
         parts.append(np.packbits(~mask, bitorder="little").tobytes())

@@ -108,10 +108,9 @@ def package_digest() -> str:
     return digest.hexdigest()[:12]
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Ship this package to executors (the ``spark-submit --py-files``
-    contract): zip ``learn_to_compress_spark`` and ``addPyFile`` it, so
-    kernels unpickle on workers regardless of their cwd/PYTHONPATH."""
+def build_pyfiles_zip() -> str:
+    """Build (or reuse) the package zip for ``spark-submit --py-files``;
+    returns its path. Content-addressed by :func:`package_digest`."""
     import tempfile
     import zipfile
 
@@ -130,4 +129,11 @@ def _ship_package(spark: SparkSession) -> None:
             for full in sorted(sources):
                 zf.write(full, os.path.relpath(full, root))
         os.replace(zpath + ".tmp", zpath)
-    spark.sparkContext.addPyFile(zpath)
+    return zpath
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the ``spark-submit --py-files``
+    contract): zip ``learn_to_compress_spark`` and ``addPyFile`` it, so
+    kernels unpickle on workers regardless of their cwd/PYTHONPATH."""
+    spark.sparkContext.addPyFile(build_pyfiles_zip())

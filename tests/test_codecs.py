@@ -269,3 +269,20 @@ def test_leco_string_selected_via_framing():
     assert name == "leco_str"
     out = decode_string_column(payload, len(ser))
     assert list(out) == list(ser)
+
+
+def test_delta_var_beats_fixed_delta_on_jumpy_data():
+    """Operator #13 (``delta_cost``): segment boundaries isolate wide jumps
+    so smooth regions keep narrow delta widths."""
+    from learn_to_compress_spark.codecs.delta_var import DeltaVarCodec
+    from learn_to_compress_spark.codecs.intcodecs import DeltaCodec
+
+    n = 20000
+    base = np.cumsum(RNG.integers(-3, 4, n))
+    jumps = np.zeros(n, dtype=np.int64)
+    jumps[RNG.integers(0, n, 15)] = 10**6
+    y = (np.cumsum(jumps) + base + 10**7).astype(np.uint64)
+    dv = DeltaVarCodec(np.uint64)
+    payload = dv.encode(y)
+    assert np.array_equal(dv.decode(payload, n), y)
+    assert len(payload) < 0.3 * len(DeltaCodec(np.uint64).encode(y))
