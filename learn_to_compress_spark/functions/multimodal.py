@@ -106,7 +106,8 @@ def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "ts_ms": []}
             for mid, dur in zip(pdf["media_id"], pdf["duration_ms"]):
-                n = max(int((dur or 0) // every_ms), 1)
+                dur = 0 if pd.isna(dur) else int(dur)  # nulls arrive as NaN
+                n = max(dur // every_ms, 1)
                 for k in range(n):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(k)

@@ -19,8 +19,11 @@ _STOPWORDS = {
 
 
 def token_count_col(text: Column) -> Column:
-    """Whitespace token count (BPE-ish regex split)."""
-    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    """Whitespace token count (BPE-ish regex split); empty/blank → 0."""
+    t = F.trim(text)
+    return (
+        F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+    )
 
 
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -482,14 +482,7 @@ def decode_double_column_arrow(payload: bytes, n: int, logical: str = "double"):
 
     flags = payload[0]
     valid, n_valid, off = _read_validity(payload, n, flags, 1)
-    name = CODEC_NAMES[payload[off]]
-    off += 1
-    bits = (
-        int_codec(name, np.uint64).decode(payload[off:], n_valid)
-        if n_valid
-        else np.empty(0, np.uint64)
-    )
-    vals = bits.view(np.float64)
+    vals = _decode_double_dense(payload, off, n_valid)
     if valid is None:
         return pa.array(vals)
     full = np.zeros(n, dtype=np.float64)
@@ -497,41 +490,84 @@ def decode_double_column_arrow(payload: bytes, n: int, logical: str = "double"):
     return pa.array(full, mask=~valid)
 
 
+_DSCALE_ID = 10  # framed double codec id: decimal-scaled integer path
+
+
+def _try_decimal_scale(vals: np.ndarray):
+    """(k, int64 values) if every double is exactly ``i / 10**k`` AND the
+    reconstruction ``i / 10**k`` reproduces the original bit pattern —
+    else None. Bitwise-exact check, so -0.0 / inf / giant magnitudes all
+    fall back safely."""
+    with np.errstate(all="ignore"):
+        for k in (0, 1, 2, 4):
+            scale = np.float64(10.0**k)
+            scaled = vals * scale
+            ints = np.round(scaled)
+            if not np.all(np.abs(ints) < 2**53):
+                return None
+            i64 = ints.astype(np.int64)
+            recon = i64.astype(np.float64) / scale
+            if np.array_equal(recon.view(np.uint64), vals.view(np.uint64)):
+                return k, i64
+    return None
+
+
 def encode_double_column(ser: pd.Series) -> tuple[str, bytes]:
-    """Doubles are encoded bit-identically via their uint64 bit patterns:
-    low-cardinality float columns (quantities, rates, prices) dictionary- or
-    RLE-compress extremely well, everything else escapes to raw. Model
-    codecs (leco/for/delta) are excluded — float bit patterns have no linear
-    structure. (The reference has no float payload codec in its shipped
-    benchmark set; this is our extension.)"""
+    """Doubles are encoded bit-identically: decimal-valued columns
+    (quantities, prices, rates — ``v == i/10^k`` bitwise) are scaled to
+    int64 and go through the full integer codec race (the Spark analogue of
+    the reference's float-payload LeCo variants ``piecewise_cost_float.h`` /
+    ``piecewise_fix_op_float.h``); everything else encodes its raw uint64
+    bit patterns, where low-cardinality columns still dictionary/RLE
+    compress. Decode reproduces exact bit patterns in both paths."""
     mask = ser.isna().to_numpy()
     has_nulls = bool(mask.any())
-    bits = ser.dropna().to_numpy(dtype=np.float64).view(np.uint64)
-    if bits.size:
-        sizes = int_codec_sizes(bits, np.uint64)
-        name = min(("raw", "rle", "dict"), key=lambda k: sizes[k])
-        payload = int_codec(name, np.uint64).encode(bits)
-    else:
-        name, payload = "raw", b""
+    vals = ser.dropna().to_numpy(dtype=np.float64)
     parts = [bytes([_FLAG_NULLS if has_nulls else 0])]
     if has_nulls:
         parts.append(np.packbits(~mask, bitorder="little").tobytes())
+    dec = _try_decimal_scale(vals) if vals.size else None
+    if dec is not None:
+        k, i64 = dec
+        inner_name, inner_payload = encode_int_values(i64, None, "int64")
+        parts.append(bytes([_DSCALE_ID, k]))
+        parts.append(inner_payload)
+        return f"dscale{k}:{inner_name}", b"".join(parts)
+    bits = vals.view(np.uint64)
+    if bits.size:
+        sizes = int_codec_sizes(bits, np.uint64)
+        name = min(("raw", "rle", "dict"), key=lambda k2: sizes[k2])
+        payload = int_codec(name, np.uint64).encode(bits)
+    else:
+        name, payload = "raw", b""
     parts.append(bytes([CODEC_IDS[name]]))
     parts.append(payload)
     return name, b"".join(parts)
 
 
-def decode_double_column(payload: bytes, n: int) -> pd.Series:
-    flags = payload[0]
-    valid, n_valid, off = _read_validity(payload, n, flags, 1)
-    name = CODEC_NAMES[payload[off]]
-    off += 1
+def _decode_double_dense(payload: bytes, off: int, n_valid: int) -> np.ndarray:
+    cid = payload[off]
+    if cid == _DSCALE_ID:
+        k = payload[off + 1]
+        i64 = (
+            decode_int_column(payload[off + 2 :], n_valid, "int64").to_numpy()
+            if n_valid
+            else np.empty(0, np.int64)
+        )
+        return i64.astype(np.float64) / np.float64(10.0**k)
+    name = CODEC_NAMES[cid]
     bits = (
-        int_codec(name, np.uint64).decode(payload[off:], n_valid)
+        int_codec(name, np.uint64).decode(payload[off + 1 :], n_valid)
         if n_valid
         else np.empty(0, np.uint64)
     )
-    vals = bits.view(np.float64)
+    return bits.view(np.float64)
+
+
+def decode_double_column(payload: bytes, n: int) -> pd.Series:
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    vals = _decode_double_dense(payload, off, n_valid)
     if valid is None:
         return pd.Series(vals.copy())
     out = np.full(n, np.nan)

@@ -83,6 +83,12 @@ def get_spark(
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", _MALLOC_BIG)
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", _MALLOC_BIG)
     )
+    # shuffle/spill dir override (bench_scaling points this at tmpfs so the
+    # single box's disk doesn't masquerade as a scaling ceiling; on a real
+    # cluster each executor has its own local disks)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)

@@ -111,7 +111,8 @@ def pipeline_queries():
 def pipeline_oracle_sql():
     return {
         "text_token_counts": (
-            "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
             " AS n_tokens FROM documents"
         ),
         "text_quality_counts": (

@@ -286,3 +286,30 @@ def test_delta_var_beats_fixed_delta_on_jumpy_data():
     payload = dv.encode(y)
     assert np.array_equal(dv.decode(payload, n), y)
     assert len(payload) < 0.3 * len(DeltaCodec(np.uint64).encode(y))
+
+
+def test_double_decimal_scale_roundtrip():
+    """Decimal-valued doubles take the scaled-int path (float-payload LeCo
+    analogue, ``piecewise_cost_float.h``); decode is bitwise exact."""
+    from learn_to_compress_spark.select import decode_double_column, encode_double_column
+
+    prices = pd.Series((RNG.integers(90000, 200000, 6000) / 100.0))
+    name, payload = encode_double_column(prices)
+    assert name.startswith("dscale2:")
+    assert len(payload) < 0.5 * 8 * len(prices)
+    out = decode_double_column(payload, len(prices))
+    assert np.array_equal(out.to_numpy().view(np.uint64), prices.to_numpy().view(np.uint64))
+
+
+def test_double_decimal_scale_edge_fallback():
+    """-0.0 / inf / irrational values must fall back to the bit-pattern path
+    (the decimal check is bitwise, not tolerance-based)."""
+    from learn_to_compress_spark.select import decode_double_column, encode_double_column
+
+    edge = pd.Series([0.0, -0.0, 1.5, float("inf"), None, 2.25, 1 / 3])
+    name, payload = encode_double_column(edge)
+    assert not name.startswith("dscale")
+    out = decode_double_column(payload, len(edge))
+    got = out.to_numpy()
+    assert got[1] == 0.0 and np.signbit(got[1])
+    assert np.isinf(got[3]) and np.isnan(got[4])

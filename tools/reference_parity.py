@@ -144,6 +144,10 @@ def main() -> int:
     ours = our_cr(linear_block, 65536, N_REF // 65536, "leco_var", np.uint32) * 100
     rows.append(("linear_200M_uint32", "leco_var", 1.457, ours))
 
+    # Delta_var on linear: ref 18.9 % (auto_int_benchmark_intel.log:3)
+    ours = our_cr(linear_block, 65536, N_REF // 65536, "delta_var", np.uint32) * 100
+    rows.append(("linear_200M_uint32", "delta_var", 18.9, ours))
+
     # normal_200M_uint32, 100k blocks: ref LeCo_fix 6.703 %
     ours = our_cr(normal_block, 2000, 100_000, "leco", np.uint32) * 100
     rows.append(("normal_200M_uint32", "leco", 6.703, ours))
