@@ -77,3 +77,72 @@ def test_filter_mod_band(spark, tmp_path):
     )
     assert len(expect) > 0
     assert expect.reset_index(drop=True).equals(got.reset_index(drop=True))
+
+
+def test_windowed_aggregation_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window counts over a file stream equal the batch
+    groupBy on the same data."""
+    from learn_to_compress_spark.sources.transcripts import transcripts_df
+    from learn_to_compress_spark.streaming.windows import turns_per_window
+
+    src = str(tmp_path / "win_src")
+    out = str(tmp_path / "win_out")
+    df = transcripts_df(spark, 50, parallelism=2)
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        turns_per_window(stream, window="10 minutes", watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window.start, r.window.end): r.n_turns
+        for r in spark.sql("select * from win_agg").collect()
+    }
+    want = {
+        (r.w.start, r.w.end): r.c
+        for r in df.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState keeps running per-conversation counters; final
+    update rows match the batch aggregate."""
+    from learn_to_compress_spark.sources.transcripts import transcripts_df
+    from learn_to_compress_spark.streaming.windows import conversation_progress
+
+    src = str(tmp_path / "state_src")
+    df = transcripts_df(spark, 40, parallelism=2)
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from conv_state where not closed").collect()
+    # latest update per conv
+    latest = {}
+    for r in rows:
+        if r.conv_id not in latest or r.n_turns > latest[r.conv_id].n_turns:
+            latest[r.conv_id] = r
+    want = {
+        r.conv_id: (r.n, r.mx)
+        for r in df.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    assert {k: (v.n_turns, v.max_turn_idx) for k, v in latest.items()} == want
