@@ -36,7 +36,8 @@ CHUNK_SCHEMA = T.StructType(
     ]
 )
 
-# chunk rows as physically written (chunk + provenance run id);
+# chunk rows as read back (data columns + the run_id partition column from
+# the Hive-style ``run_id=<id>`` directory the run wrote into);
 # note StructType.add mutates, so build a fresh StructType here
 CHUNK_RUN_SCHEMA = T.StructType(
     list(CHUNK_SCHEMA.fields) + [T.StructField("run_id", T.StringType(), True)]
@@ -91,6 +92,9 @@ def read_chunks(
     the Parquet scan (row-group pruning on the ``column`` field), so a
     single-column pushdown query never reads other columns' payload bytes.
     """
+    # chunk files live in Hive-style ``run_id=<id>`` partition dirs; with an
+    # explicit schema Spark fills ``run_id`` from the directory names, and a
+    # filter on it prunes whole run directories at the file listing
     df = spark.read.schema(CHUNK_RUN_SCHEMA).parquet(chunks_path(store))
     if columns is not None:
         df = df.filter(F.col("column").isin(columns))

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..chunkstore import (
-    CHUNK_RUN_SCHEMA,
+    CHUNK_SCHEMA,
     chunks_path,
     lineage_path,
     read_lineage,
@@ -130,7 +130,7 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
     return name, payload, meta
 
 
-def _make_kernel(colspecs, chunk_rows, run_id, selection="exact"):
+def _make_kernel(colspecs, chunk_rows, selection="exact"):
     """Arrow-native encode kernel (mapInArrow): RecordBatch slices are
     zero-copy, string columns never materialize as Python objects."""
     import pyarrow as pa
@@ -144,7 +144,6 @@ def _make_kernel(colspecs, chunk_rows, run_id, selection="exact"):
             pa.field("n_rows", pa.int32()),
             pa.field("payload", pa.binary()),
             pa.field("meta", pa.map_(pa.string(), pa.string())),
-            pa.field("run_id", pa.string()),
         ]
     )
 
@@ -186,7 +185,6 @@ def _make_kernel(colspecs, chunk_rows, run_id, selection="exact"):
                     pa.array(rows["n_rows"], pa.int32()),
                     pa.array(rows["payload"], pa.binary()),
                     pa.array(rows["meta"], pa.map_(pa.string(), pa.string())),
-                    pa.array([run_id] * len(rows["part_id"]), pa.string()),
                 ],
                 schema=out_type,
             )
@@ -238,15 +236,21 @@ def encode_table(
             work = work.filter(~F.col("_part_id").isin(done))
 
     t0 = time.monotonic()
-    out_schema = CHUNK_RUN_SCHEMA
     if shuffle_width is None:
         shuffle_width = max(1, num_parts // 4)
     encoded = (
         work.repartition(shuffle_width, "_part_id")
         .sortWithinPartitions("_part_id", *key_cols)
-        .mapInArrow(_make_kernel(colspecs, chunk_rows, run_id, selection), schema=out_schema)
+        .mapInArrow(_make_kernel(colspecs, chunk_rows, selection), schema=CHUNK_SCHEMA)
     )
-    encoded.write.mode("append").parquet(chunks_path(store))
+    # per-run partition directory (Hive-style): readers discover ``run_id``
+    # as a partition column, the lineage metrics job lists ONLY this run's
+    # files (at 10^12 rows a metrics pass must not scan the whole store),
+    # and a killed run's orphans are one directory. Uncompressed parquet:
+    # payloads are already entropy-coded, so snappy on top costs CPU at
+    # every write AND read for ~no size gain.
+    run_dir = os.path.join(chunks_path(store), f"run_id={run_id}")
+    encoded.write.mode("append").option("compression", "uncompressed").parquet(run_dir)
     wall_ms = (time.monotonic() - t0) * 1000
 
     # persist the table schema so decode is self-describing
@@ -255,7 +259,7 @@ def encode_table(
         json.dump({"colspecs": colspecs, "key_cols": list(key_cols)}, fh)
 
     # lineage commit: aggregate this run's chunk rows into per-part metrics
-    mine = spark.read.parquet(chunks_path(store)).filter(F.col("run_id") == run_id)
+    mine = spark.read.schema(CHUNK_SCHEMA).parquet(run_dir)
     per_col = len(colspecs)
     lineage = mine.groupBy("part_id").agg(
         F.lit(run_id).alias("run_id"),
