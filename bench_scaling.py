@@ -25,6 +25,8 @@ NUM_PARTS = 128  # identical plan at both parallelism levels
 
 
 def run_job(master: str, input_path: str, store: str) -> dict:
+    """One fresh session at ``master``: full warm pass (untimed), then one
+    timed encode + decode pass."""
     from learn_to_compress_spark.jobs import decode_table, encode_table
     from learn_to_compress_spark.sources.session import get_spark
 
@@ -35,22 +37,15 @@ def run_job(master: str, input_path: str, store: str) -> dict:
         # faults in its complete buffer pools (this VM's first-touch page
         # faults run ~140 µs/page and serialize across processes); a
         # long-running cluster pays this once per executor lifetime, so the
-        # timed passes below measure steady state. Identical at both levels.
+        # timed pass below measures steady state. Identical at both levels.
         encode_table(df, store + "_warm", resume=False, num_parts=NUM_PARTS)
         decode_table(spark, store + "_warm").count()
-        # best of 2 timed passes per level: this shared VM shows ±30 %
-        # run-to-run noise (CPU steal); noise is one-sided, so the best
-        # pass is the least-contaminated estimate at BOTH levels
-        t_enc = float("inf")
-        for k in range(2):
-            t0 = time.monotonic()
-            m = encode_table(df, f"{store}_t{k}", resume=False, num_parts=NUM_PARTS)
-            t_enc = min(t_enc, time.monotonic() - t0)
-        t_dec = float("inf")
-        for k in range(2):
-            t0 = time.monotonic()
-            n = decode_table(spark, f"{store}_t{k}").count()
-            t_dec = min(t_dec, time.monotonic() - t0)
+        t0 = time.monotonic()
+        m = encode_table(df, store, resume=False, num_parts=NUM_PARTS)
+        t_enc = time.monotonic() - t0
+        t0 = time.monotonic()
+        n = decode_table(spark, store).count()
+        t_dec = time.monotonic() - t0
         assert n == m["rows"], (n, m["rows"])
         return {
             "master": master,
@@ -136,8 +131,31 @@ def main() -> int:
     transcripts_df(spark, n_convs).write.mode("overwrite").parquet(input_path)
     spark.stop()
 
-    r_small = run_job(f"local[{n_small}]", input_path, os.path.join(work, "s8"))
-    r_big = run_job(f"local[{n_big}]", input_path, os.path.join(work, "s32"))
+    # INTERLEAVED rounds: this shared VM's throughput drifts ~1.7× across
+    # ~10-minute noise windows (CPU steal), so measuring the two levels in
+    # disjoint windows corrupts the ratio. Alternating small/big rounds
+    # back-to-back puts both levels in the same windows; the per-level best
+    # across rounds is the least-contaminated estimate on each side.
+    rounds = int(os.environ.get("LTC_SCALING_ROUNDS", "2"))
+    passes_small, passes_big = [], []
+    for r in range(rounds):
+        passes_small.append(
+            run_job(f"local[{n_small}]", input_path, os.path.join(work, f"s{r}_small"))
+        )
+        passes_big.append(
+            run_job(f"local[{n_big}]", input_path, os.path.join(work, f"s{r}_big"))
+        )
+        for d in (f"s{r}_small", f"s{r}_small_warm", f"s{r}_big", f"s{r}_big_warm"):
+            shutil.rmtree(os.path.join(work, d), ignore_errors=True)
+    r_small = min(passes_small, key=lambda p: p["encode_sec"])
+    r_big = min(passes_big, key=lambda p: p["encode_sec"])
+    # decode best can come from a different round than encode best
+    r_small = {**r_small,
+               "decode_sec": min(p["decode_sec"] for p in passes_small),
+               "decode_rows_per_sec": max(p["decode_rows_per_sec"] for p in passes_small)}
+    r_big = {**r_big,
+             "decode_sec": min(p["decode_sec"] for p in passes_big),
+             "decode_rows_per_sec": max(p["decode_rows_per_sec"] for p in passes_big)}
     hw = hardware_probe()
 
     def eff(key: str) -> float:
@@ -148,6 +166,8 @@ def main() -> int:
         "rows": r_small["rows"],
         "small": r_small,
         "big": r_big,
+        "passes_small": passes_small,
+        "passes_big": passes_big,
         "encode_scaling_efficiency": eff("encode_rows_per_sec"),
         "decode_scaling_efficiency": eff("decode_rows_per_sec"),
         "hardware_probe_chunks_per_sec": hw,
@@ -172,6 +192,16 @@ materialized parquet input, {r_small['rows']:,} transcript turns,
 
 - encode: **{report['encode_scaling_efficiency']}**
 - decode: **{report['decode_scaling_efficiency']}**
+
+Protocol: per level, a fresh session runs one full UNTIMED warm pass (page
+faults amortize exactly once per long-lived worker, as on a real cluster),
+then one timed pass; the levels alternate over {rounds} interleaved rounds
+(this shared VM's available CPU drifts ~1.7× across ~10-minute windows —
+interleaving puts both levels in the same windows) and the per-level best
+is reported. All passes:
+
+| round | {'; '.join(f"local[{n_small}] enc {p['encode_sec']}s dec {p['decode_sec']}s" for p in passes_small)} |
+| ----- | {'; '.join(f"local[{n_big}] enc {p['encode_sec']}s dec {p['decode_sec']}s" for p in passes_big)} |
 
 Compression ratio on this input: **{r_small['ratio']:.4f}** (identical at
 both levels — the job is deterministic).
