@@ -2,46 +2,85 @@
 
 The reference keeps compressed blocks as in-process ``uint8_t*`` descriptors
 (``experiments/fix_int.cpp:58-79``); our descriptors are rows of a chunk-store
-table (SURVEY.md §1.2):
+table. Layout v2 — **one row per chunk, one struct column per table column**:
 
-``(part_id int, chunk_id long, column string, codec string, n_rows int,
-  payload binary, meta map<string,string>)``
+``(part_id int, chunk_id long, n_rows int, raw_bytes long, enc_bytes long,
+   c_<col> struct<codec string, payload binary, zmin long, zmax long,
+                  vsum decimal(38,0), raw_bytes long, enc_bytes long> ...)``
 
-written as Parquet, with a **lineage** side table providing Iceberg-like
-commit semantics in this sandbox (no Iceberg jars): a partition's chunks are
-visible only if a lineage row ``(part_id, run_id, metrics...)`` exists. Data
-files are written before lineage, so a killed job leaves orphan chunk rows
-that readers never see, and a resumed job re-encodes only parts without
-lineage — idempotent, atomic per partition. On a real deployment this maps
-1:1 to Iceberg table commits + a metrics table; only this module would change.
+Why this shape (the 100 TB argument): a chunk row is **self-contained**, so
+every read-path operator is scan → ``mapInArrow`` with ZERO shuffle — no
+regrouping of per-column payload rows is ever needed (v1 shuffled the whole
+payload through a ``groupBy(chunk_id)`` exchange to reunite them). Column
+pruning is native: selecting ``c_ts.payload`` makes Parquet read only that
+leaf (nested schema pruning). Zone maps (``zmin``/``zmax``, the analogue of
+``experiments/leco_int_fix_template.cpp:222-249``) are plain nested fields, so
+chunk skipping is a pushable Parquet predicate instead of a broadcast join.
+``vsum`` is the exact per-chunk value sum, making SUM a metadata-only scan
+(cheaper than the reference's closed-form summation,
+``headers/piecewise_fix_op.h:167-284`` — no payload bytes touched at all).
+
+A **lineage** side table provides Iceberg-like commit semantics in this
+sandbox (no Iceberg jars): a partition's chunks are visible only if a lineage
+row ``(part_id, run_id, metrics...)`` exists. Data files are written before
+lineage, so a killed job leaves orphan chunk rows that readers never see, and
+a resumed job re-encodes only parts without lineage — idempotent, atomic per
+partition. On a real deployment this maps 1:1 to Iceberg table commits + a
+metrics table; only this module would change.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-CHUNK_SCHEMA = T.StructType(
+# per-table-column struct (order matters: persisted inside parquet files)
+COL_STRUCT = T.StructType(
     [
-        T.StructField("part_id", T.IntegerType(), False),
-        T.StructField("chunk_id", T.LongType(), False),
-        T.StructField("column", T.StringType(), False),
         T.StructField("codec", T.StringType(), False),
-        T.StructField("n_rows", T.IntegerType(), False),
         T.StructField("payload", T.BinaryType(), True),
-        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("zmin", T.LongType(), True),
+        T.StructField("zmax", T.LongType(), True),
+        T.StructField("vsum", T.DecimalType(38, 0), True),
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("enc_bytes", T.LongType(), False),
     ]
 )
 
-# chunk rows as read back (data columns + the run_id partition column from
-# the Hive-style ``run_id=<id>`` directory the run wrote into);
-# note StructType.add mutates, so build a fresh StructType here
-CHUNK_RUN_SCHEMA = T.StructType(
-    list(CHUNK_SCHEMA.fields) + [T.StructField("run_id", T.StringType(), True)]
-)
+_META_FIELDS = [
+    T.StructField("part_id", T.IntegerType(), False),
+    T.StructField("chunk_id", T.LongType(), False),
+    T.StructField("n_rows", T.IntegerType(), False),
+    T.StructField("raw_bytes", T.LongType(), False),
+    T.StructField("enc_bytes", T.LongType(), False),
+]
+
+
+def col_field(name: str) -> str:
+    """Struct-column name for table column ``name`` (prefixed to avoid
+    collisions with the chunk metadata fields)."""
+    return f"c_{name}"
+
+
+def chunk_schema(colspecs: list[tuple[str, str]]) -> T.StructType:
+    """Chunk-row schema for a table with the given (name, logical) columns."""
+    fields = list(_META_FIELDS)
+    for name, _logical in colspecs:
+        fields.append(T.StructField(col_field(name), COL_STRUCT, True))
+    return T.StructType(fields)
+
+
+def chunk_run_schema(colspecs: list[tuple[str, str]]) -> T.StructType:
+    """Chunk rows as read back: data fields + the ``run_id`` Hive-partition
+    column filled from the ``run_id=<id>`` directory names."""
+    return T.StructType(
+        list(chunk_schema(colspecs).fields) + [T.StructField("run_id", T.StringType(), True)]
+    )
+
 
 LINEAGE_SCHEMA = T.StructType(
     [
@@ -64,6 +103,17 @@ def lineage_path(store: str) -> str:
     return os.path.join(store, "lineage")
 
 
+def schema_path(store: str) -> str:
+    return os.path.join(store, "_schema.json")
+
+
+def load_store_schema(store: str) -> dict:
+    """The persisted table schema + partition-mapping params
+    (``colspecs``, ``key_cols``, ``num_parts``, ``salt_block``)."""
+    with open(schema_path(store)) as fh:
+        return json.load(fh)
+
+
 def read_lineage(spark: SparkSession, store: str) -> DataFrame:
     path = lineage_path(store)
     try:
@@ -79,24 +129,37 @@ def committed_parts(spark: SparkSession, store: str) -> DataFrame:
     part (so at most one batch run per part), while streaming appends commit
     one run per micro-batch into the same parts. Chunks from a run that died
     before its lineage write have no pair here and stay invisible — that is
-    the Iceberg-style atomicity contract."""
-    return read_lineage(spark, store).select("part_id", "run_id").distinct()
+    the Iceberg-style atomicity contract. Lineage rows are unique per
+    (part_id, run_id) by construction (one commit row per part per run), so
+    no distinct/aggregation is needed — the read path stays shuffle-free."""
+    return read_lineage(spark, store).select("part_id", "run_id")
 
 
 def read_chunks(
-    spark: SparkSession, store: str, columns: list[str] | None = None
+    spark: SparkSession,
+    store: str,
+    columns: list[str] | None = None,
+    leaves: list | None = None,
 ) -> DataFrame:
     """Visible chunk rows (semi-joined against committed lineage).
 
-    ``columns`` prunes to the named table columns — this predicate reaches
-    the Parquet scan (row-group pruning on the ``column`` field), so a
-    single-column pushdown query never reads other columns' payload bytes.
+    ``columns`` prunes to the named table columns' structs. ``leaves`` prunes
+    harder: a list of Column expressions (nested-leaf selections like
+    ``F.col("c_ts.payload").alias("p_ts")``) applied DIRECTLY on the scan,
+    **before** the lineage semi-join — Spark's nested schema pruning only
+    fires on Project-over-Relation, so selecting leaves after the join would
+    silently read every struct field. With ``leaves``, a payload-free
+    operator (SUM over ``vsum``) reads zero payload bytes from Parquet. The
+    lineage side is broadcast, so no shuffle of chunk rows occurs.
     """
-    # chunk files live in Hive-style ``run_id=<id>`` partition dirs; with an
-    # explicit schema Spark fills ``run_id`` from the directory names, and a
-    # filter on it prunes whole run directories at the file listing
-    df = spark.read.schema(CHUNK_RUN_SCHEMA).parquet(chunks_path(store))
-    if columns is not None:
-        df = df.filter(F.col("column").isin(columns))
+    doc = load_store_schema(store)
+    colspecs = [tuple(cs) for cs in doc["colspecs"]]
+    df = spark.read.schema(chunk_run_schema(colspecs)).parquet(chunks_path(store))
+    if leaves is not None:
+        df = df.select("part_id", "run_id", *leaves)
+    elif columns is not None:
+        meta = [f.name for f in _META_FIELDS]
+        df = df.select(*meta, "run_id", *[col_field(c) for c in columns])
     commits = committed_parts(spark, store)
-    return df.join(F.broadcast(commits), ["part_id", "run_id"], "left_semi")
+    joined = df.join(F.broadcast(commits), ["part_id", "run_id"], "left_semi")
+    return joined.drop("part_id", "run_id") if leaves is not None else joined

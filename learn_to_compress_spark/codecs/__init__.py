@@ -10,6 +10,7 @@ from .delta_var import DeltaVarCodec
 from .dict_ import DictCodec
 from .intcodecs import DeltaCodec, ForCodec, LecoFixCodec, RawCodec, RleCodec
 from .leco_var import LecoVarCodec
+from .outlier import LecoOutlierCodec
 from .poly import Poly2Codec
 
 INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
@@ -22,12 +23,14 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "leco_var": LecoVarCodec,
     "poly2": Poly2Codec,
     "delta_var": DeltaVarCodec,
+    "leco_outlier": LecoOutlierCodec,
 }
 
 # stable ids for embedding a codec choice inside payloads / chunk meta
 # (append-only: ids are persisted inside chunk payloads)
 CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
-    ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2", "delta_var"]
+    ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2",
+     "delta_var", "leco_outlier"]
 )}
 CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
 

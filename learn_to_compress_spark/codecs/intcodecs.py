@@ -305,21 +305,17 @@ class LecoFixCodec(IntCodec):
         return self._combine(pred, sign, mag)
 
     def sum(self, payload: bytes, n: int) -> int:
-        """SUM pushdown from (theta, residuals) without materializing values
-        (``headers/piecewise_fix_op.h:167-284`` semantics; we keep the O(n)
-        vectorized trunc-pred sum instead of the closed-form series trick)."""
-        max_bit, theta0, theta1, off = self._header(payload)
-        if max_bit == self.width:
-            return int(np.frombuffer(payload, dtype=self.dtype, count=n, offset=off).sum(dtype=object))
-        pred = self._pred(theta0, theta1, np.arange(n))
-        total = int(pred.sum(dtype=object))
-        if max_bit:
-            sign, mag = unpack_signmag(np.frombuffer(payload, np.uint8, offset=off), n, max_bit)
-            m = mag.astype(object)
-            total += int(m[sign].sum()) - int(m[~sign].sum())
-        if self.width < 64:
-            total %= 1 << self.width  # T-domain wrap, matching decode-then-sum
-        return total
+        """SUM pushdown (``headers/piecewise_fix_op.h:167-284`` semantics,
+        O(n) unpack class). Computed as the exact sum of the DECODED stored
+        values so it always equals ``decode().sum()`` — summing signed
+        predictions directly is wrong for width-64 sign-flipped columns,
+        whose stored values sit near 2^63 and view-cast negative."""
+        vals = self.decode(payload, n)
+        if self.width == 64:
+            hi = int((vals >> _U64(32)).astype(np.int64).sum(dtype=np.int64))
+            lo = int((vals & _U64(0xFFFFFFFF)).astype(np.int64).sum(dtype=np.int64))
+            return (hi << 32) + lo
+        return int(vals.sum(dtype=np.int64))
 
     def filter_gt(self, payload: bytes, n: int, v: int) -> np.ndarray:
         """Model-inversion pushdown (``piecewise_fix_integer_template.h:206-252``):
@@ -347,6 +343,49 @@ class LecoFixCodec(IntCodec):
             )
             vals = self._combine(pred, sign, mag)
         return idx[vals > self.dtype.type(v)]
+
+    def filter_mod_band(self, payload: bytes, n: int, base: int, lo: int, hi: int):
+        """Per-period model inversion for ``lo < value % base < hi``
+        (``headers/piecewise_fix_integer_template.h:254-303``): for each
+        period p the qualifying values lie in ``(p·base+lo, p·base+hi)``;
+        inverting the line model turns each such window into a slot-index
+        range, so only slots whose prediction window can intersect a band
+        are decoded. Returns ``(positions, n_decoded)`` or None when the
+        model can't skip (raw escape, flat slope, or dense candidates —
+        caller falls back to one full decode)."""
+        max_bit, theta0, theta1, off = self._header(payload)
+        if max_bit == self.width or theta1 == 0.0:
+            return None
+        # slack: |value − float prediction| < 2^(l-1) + 1 (trunc + residual)
+        h = float(1 << (max_bit - 1)) + 2.0 if max_bit else 2.0
+        p0, p1 = theta0, theta0 + theta1 * (n - 1)
+        lo_v, hi_v = min(p0, p1) - h, max(p0, p1) + h
+        n_periods = int(hi_v // base) - int(np.floor(lo_v / base)) + 1
+        if n_periods > n:  # steeper than one slot per period: no skipping
+            return None
+        periods = np.arange(int(np.floor(lo_v / base)), int(hi_v // base) + 1, dtype=np.float64)
+        band_lo = periods * float(base) + float(lo) + 1.0 - h
+        band_hi = periods * float(base) + float(hi) - 1.0 + h
+        a = (band_lo - theta0) / theta1
+        b = (band_hi - theta0) / theta1
+        if theta1 < 0:
+            a, b = b, a
+        starts = np.clip(np.floor(a).astype(np.int64), 0, n)
+        ends = np.clip(np.ceil(b).astype(np.int64) + 1, 0, n)
+        keep = ends > starts
+        starts, ends = starts[keep], ends[keep]
+        if starts.size == 0:
+            return np.empty(0, dtype=np.int64), 0
+        # union of candidate ranges via a prefix-sum coverage mask
+        cover = np.zeros(n + 1, dtype=np.int32)
+        np.add.at(cover, starts, 1)
+        np.add.at(cover, ends, -1)
+        cand = np.flatnonzero(np.cumsum(cover[:-1]) > 0)
+        if cand.size >= 0.9 * n:
+            return None
+        vals = self.gather(payload, cand, n)
+        rem = as_signed64(vals) % np.int64(base)
+        return cand[(rem > lo) & (rem < hi)], int(cand.size)
 
 
 class RleCodec(IntCodec):

@@ -155,15 +155,12 @@ class Poly2Codec(IntCodec):
         return self._combine(pred, sign, mag)
 
     def sum(self, payload: bytes, n: int) -> int:
-        max_bit, t0, t1, t2, off = self._header(payload)
-        if max_bit == self.width:
-            return int(np.frombuffer(payload, dtype=self.dtype, count=n, offset=off).sum(dtype=object))
-        pred = self._pred(t0, t1, t2, np.arange(n))
-        total = int(pred.sum(dtype=object))
-        if max_bit:
-            sign, mag = unpack_signmag(np.frombuffer(payload, np.uint8, offset=off), n, max_bit)
-            m = mag.astype(object)
-            total += int(m[sign].sum()) - int(m[~sign].sum())
-        if self.width < 64:
-            total %= 1 << self.width
-        return total
+        """Exact sum of the decoded stored values (see LecoFixCodec.sum —
+        summing signed predictions is wrong for width-64 sign-flipped
+        columns whose stored values sit near 2^63)."""
+        vals = self.decode(payload, n)
+        if self.width == 64:
+            hi = int((vals >> _U64(32)).astype(np.int64).sum(dtype=np.int64))
+            lo = int((vals & _U64(0xFFFFFFFF)).astype(np.int64).sum(dtype=np.int64))
+            return (hi << 32) + lo
+        return int(vals.sum(dtype=np.int64))

@@ -6,9 +6,14 @@
 * **lsh_topk** — random-hyperplane LSH: a signature bucket prefilter
   (broadcast hyperplanes, vectorized pandas UDF), exact cosine only within
   candidate buckets. The scale path: at 10^12 rows the bucket filter prunes
-  the scan before any float math runs.
-* **near_dup_pairs** — embedding near-duplicates (cosine ≥ threshold) via
-  the same bucket join, for dedup pipelines.
+  the scan before any float math runs. Plane count comes from Parquet
+  footer metadata (driver-side, no scan) or an explicit parameter — never
+  from a ``df.count()`` job.
+* **near_dup_pairs** — embedding near-duplicates (cosine ≥ threshold) via a
+  BANDED bucket join (B bands × r planes: a near-dup pair colliding in ≥1
+  band is found with prob ``1-(1-p^r)^B`` — OR-amplification keeps recall
+  near 1 where a single wide bucket would miss ~20% of pairs), with a
+  bucket-size cap so no hot bucket can go quadratic.
 """
 
 from __future__ import annotations
@@ -18,6 +23,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def parquet_num_rows(path: str) -> int:
+    """Total row count from Parquet footers — driver-side metadata only,
+    no Spark job and no data scan."""
+    import pyarrow.dataset as ds
+
+    total = 0
+    for frag in ds.dataset(path, format="parquet").get_fragments():
+        total += frag.metadata.num_rows
+    return total
 
 
 def _cosine_col(vec_col: str, q: np.ndarray):
@@ -54,7 +70,7 @@ def brute_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def _hyperplanes(dim: int, n_planes: int = 16) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     rng = np.random.default_rng(42)
     return rng.standard_normal((n_planes, dim))
 
@@ -87,24 +103,29 @@ def lsh_signatures(
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def planes_for_rows(n_rows: int) -> int:
+    """Plane count giving ~64-vector buckets; clamped to [2, 20]."""
+    return int(np.clip(np.log2(max(n_rows, 1) / 64 + 1) + 1, 2, 20))
+
+
 def _query_buckets(q: np.ndarray, n_planes: int, multiprobe: int = 1) -> list[int]:
     """Query bucket plus all Hamming≤multiprobe neighbors (flip low-margin
-    bits first would be better; flipping all is fine at 16 planes)."""
+    bits first would be better; flipping all is fine at ≤20 planes)."""
     planes = _hyperplanes(len(q), n_planes)
     base = int(
         ((planes @ q >= 0).astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(
             dtype=np.uint64
         )
     )
+    from itertools import combinations
+
     buckets = {base}
-    if multiprobe >= 1:
-        buckets |= {base ^ (1 << i) for i in range(n_planes)}
-    if multiprobe >= 2:
-        buckets |= {
-            base ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        }
+    for d in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), d):
+            m = 0
+            for i in bits:
+                m |= 1 << i
+            buckets.add(base ^ m)
     return [b - (1 << 64) if b >= 1 << 63 else b for b in buckets]
 
 
@@ -113,6 +134,7 @@ def lsh_topk(
     query: np.ndarray,
     k: int = 10,
     n_planes: int | None = None,
+    n_rows: int | None = None,
     multiprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -120,13 +142,15 @@ def lsh_topk(
     """Approximate cosine top-k: bucket prefilter → exact cosine on the
     candidate set only.
 
-    ``n_planes`` defaults to log2(n / 64) so buckets average ~64 vectors —
-    too many planes on a small table empties every probe bucket."""
+    Sizing: pass ``n_planes`` directly, or ``n_rows`` (e.g. from
+    :func:`parquet_num_rows` footer metadata) to derive it — too many planes
+    on a small table empties every probe bucket. No count job is ever run."""
     q = np.asarray(query, np.float64)
     dim = len(q)
     if n_planes is None:
-        n = df.count()
-        n_planes = int(np.clip(np.log2(max(n, 1) / 64 + 1) + 1, 2, 20))
+        if n_rows is None:
+            raise ValueError("pass n_planes or n_rows (e.g. parquet_num_rows(path))")
+        n_planes = planes_for_rows(n_rows)
     sigs = lsh_signatures(df, dim, n_planes, id_col, vec_col)
     cand_buckets = _query_buckets(q, n_planes, multiprobe)
     cand_ids = sigs.filter(F.col("bucket").isin(cand_buckets)).select(
@@ -136,23 +160,82 @@ def lsh_topk(
     return brute_topk(cands, q, k, id_col, vec_col)
 
 
+def banded_signatures(
+    df: DataFrame,
+    dim: int,
+    bands: int = 6,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) — one signature per band from independent
+    hyperplane sets (rows of one (bands·r, dim) seed-42 matrix)."""
+    planes = _hyperplanes(dim, bands * planes_per_band)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    r = planes_per_band
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (mat @ planes.T) >= 0  # (n, bands*r)
+            ids = pdf[id_col].astype("int64").to_numpy()
+            out_id, out_band, out_bucket = [], [], []
+            weights = 1 << np.arange(r, dtype=np.uint64)
+            for b in range(bands):
+                seg = signs[:, b * r : (b + 1) * r].astype(np.uint64)
+                buckets = (seg * weights).sum(axis=1, dtype=np.uint64)
+                out_id.append(ids)
+                out_band.append(np.full(ids.size, b, np.int32))
+                out_bucket.append(buckets.view(np.int64))
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(out_id),
+                    "band": np.concatenate(out_band),
+                    "bucket": np.concatenate(out_bucket),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    bands: int = 6,
+    planes_per_band: int = 8,
+    bucket_cap: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding near-duplicates: same-bucket self-join → exact cosine ≥
-    threshold. Returns (id_a, id_b, cosine)."""
+    """Embedding near-duplicates: banded bucket self-join (OR-amplified
+    recall) → exact cosine ≥ threshold. Hot buckets beyond ``bucket_cap``
+    are dropped (broadcast anti-join) so one degenerate bucket can never go
+    quadratic. Returns (id_a, id_b, cosine)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    sigs = lsh_signatures(df, dim, n_planes, id_col, vec_col)
+    from .dedup import _cap_buckets
+
+    sigs = banded_signatures(df, dim, bands, planes_per_band, id_col, vec_col)
+    sigs = _cap_buckets(sigs, bucket_cap)
     l, r = sigs.alias("l"), sigs.alias("r")
-    cand = l.join(
-        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
-    ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     joined = (
         cand.join(vecs, cand.id_a == vecs._id)

@@ -1,24 +1,24 @@
 """Decode job — distributed ``decodeArray8`` sweep with roundtrip checking.
 
-Reads visible chunk rows (lineage-committed only), groups the per-column
-payloads of each chunk, and reassembles table rows inside one vectorized
-pandas kernel per chunk. Row order within a chunk is positional (all columns
-of a chunk were sliced from the same sorted batch), so per-conv ordering is
-restored globally by sorting on the decoded key columns — which is exactly
-the invariant the driver checks (per-turn text equality under stable
-(conv_id, turn_idx) ordering).
+Reads visible chunk rows (lineage-committed only) and reassembles table rows
+inside one vectorized Arrow kernel per chunk. Because the store keeps ONE row
+per chunk (all column payloads in that row's structs), the plan is a pure
+scan → ``mapInArrow`` — **no shuffle anywhere on the read path**: at 100 TB
+the scan streams straight from storage into the decode kernel. Row order
+within a chunk is positional (all columns of a chunk were sliced from the
+same sorted batch), so per-conv ordering is restored globally by sorting on
+the decoded key columns — which is exactly the invariant the driver checks
+(per-turn text equality under stable (conv_id, turn_idx) ordering).
 """
 
 from __future__ import annotations
 
-import json
-import os
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql import functions as F
 
-from ..chunkstore import read_chunks
+from ..chunkstore import col_field, load_store_schema, read_chunks
 from ..select import (
     decode_double_column,
     decode_int_column,
@@ -36,8 +36,7 @@ _SPARK_OF_LOGICAL = {
 
 
 def load_schema(store: str) -> tuple[list[tuple[str, str]], list[str]]:
-    with open(os.path.join(store, "_schema.json")) as fh:
-        doc = json.load(fh)
+    doc = load_store_schema(store)
     return [tuple(cs) for cs in doc["colspecs"]], doc["key_cols"]
 
 
@@ -63,13 +62,32 @@ def decode_column_arrow(payload: bytes, n: int, logical: str):
     return decode_int_column_arrow(payload, n, logical)
 
 
+# Spark's Arrow bridge wants exact types: string (not large_string) and
+# tz-aware timestamps for TimestampType (session tz is pinned to UTC)
+def _pa_of_logical():
+    import pyarrow as pa
+
+    return {
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "timestamp_us": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz_us": pa.timestamp("us"),
+        "string": pa.string(),
+        "double": pa.float64(),
+    }
+
+
 def decode_table(
     spark: SparkSession, store: str, columns: list[str] | None = None
 ) -> DataFrame:
     """Reassembled table DataFrame from the chunk store (column-prunable).
 
-    The kernel is Arrow-native (``applyInArrow``): decoded columns return to
-    the JVM as Arrow buffers — strings never materialize as Python objects."""
+    Shuffle-free: each chunk row is self-contained, so the kernel decodes it
+    where the scan task read it. The ``c_<col>.payload`` leaf selection
+    reaches the Parquet ``ReadSchema`` (nested schema pruning), so pruned
+    columns' payload bytes are never read. The kernel is Arrow-native
+    (``mapInArrow``): decoded columns return to the JVM as Arrow buffers —
+    strings never materialize as Python objects."""
     import pyarrow as pa
 
     colspecs, _key_cols = load_schema(store)
@@ -80,32 +98,30 @@ def decode_table(
     )
     logical_of = dict(colspecs)
     names = [n for n, _ in colspecs]
+    pa_types = _pa_of_logical()
 
-    # Spark's Arrow bridge wants exact types: string (not large_string) and
-    # tz-aware timestamps for TimestampType (session tz is pinned to UTC)
-    _PA_OF_LOGICAL = {
-        "int32": pa.int32(),
-        "int64": pa.int64(),
-        "timestamp_us": pa.timestamp("us", tz="UTC"),
-        "timestamp_ntz_us": pa.timestamp("us"),
-        "string": pa.string(),
-        "double": pa.float64(),
-    }
+    def kernel(batches):
+        for rb in batches:
+            n_rows = rb.column(rb.schema.get_field_index("n_rows"))
+            payload_cols = [
+                rb.column(rb.schema.get_field_index(f"p_{name}")) for name in names
+            ]
+            for i in range(rb.num_rows):
+                n = int(n_rows[i].as_py())
+                arrays = [
+                    decode_column_arrow(payload_cols[j][i].as_py(), n, logical_of[name]).cast(
+                        pa_types[logical_of[name]]
+                    )
+                    for j, name in enumerate(names)
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    def kernel(_key: tuple, tbl: pa.Table) -> pa.Table:
-        n = int(tbl.column("n_rows")[0].as_py())
-        by_col = dict(
-            zip(tbl.column("column").to_pylist(), tbl.column("payload").to_pylist())
-        )
-        arrays = [
-            decode_column_arrow(by_col[name], n, logical_of[name]).cast(
-                _PA_OF_LOGICAL[logical_of[name]]
-            )
-            for name in names
-        ]
-        return pa.Table.from_arrays(arrays, names=names)
-
-    chunks = read_chunks(spark, store, columns=names)
-    # run_id is part of the chunk identity: streaming commits one run per
-    # micro-batch into the same part_ids, so chunk_id alone can collide
-    return chunks.groupBy("part_id", "run_id", "chunk_id").applyInArrow(kernel, out_schema)
+    sel = read_chunks(
+        spark,
+        store,
+        leaves=[
+            F.col("n_rows"),
+            *[F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in names],
+        ],
+    )
+    return sel.mapInArrow(kernel, out_schema)

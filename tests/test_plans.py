@@ -1,36 +1,84 @@
-"""Assert the physical-plan properties the scale design depends on:
-column-predicate pushdown to the chunk-store Parquet scan, and column
-pruning (payload bytes unread for metadata-only paths)."""
+"""Assert the physical-plan properties the scale design depends on: the
+read path is SHUFFLE-FREE (no Exchange anywhere between the chunk-store scan
+and the decode kernel), zone-map predicates are pushed to the Parquet scan,
+and metadata-only operators never read payload bytes (nested schema
+pruning)."""
 
 from pyspark.sql import functions as F
 
-from learn_to_compress_spark.chunkstore import read_chunks, read_lineage
-from learn_to_compress_spark.jobs import encode_table
-from learn_to_compress_spark.plans import pushed_filters, scan_read_schema
+from learn_to_compress_spark.chunkstore import read_lineage
+from learn_to_compress_spark.jobs import decode_table, encode_table
+from learn_to_compress_spark.plans import (
+    explain_text,
+    pushed_filters,
+    scan_read_schema,
+    shuffle_exchanges,
+)
 from learn_to_compress_spark.sources.transcripts import transcripts_df
 
 
-def test_column_filter_reaches_parquet_scan(spark, tmp_path):
-    store = str(tmp_path / "plan_store")
+def _store(spark, tmp_path, name="plan_store"):
+    store = str(tmp_path / name)
     encode_table(transcripts_df(spark, 60, parallelism=2), store, num_parts=4)
+    return store
 
-    one_col = read_chunks(spark, store, columns=["turn_idx"])
-    pushed = pushed_filters(one_col)
-    assert any("column" in p for p in pushed), pushed
 
-    # lineage-only COUNT plan must not read the payload column
+def test_decode_plan_has_no_exchange(spark, tmp_path):
+    """The whole point of the one-row-per-chunk store: decode is a pure
+    scan → mapInArrow with no shuffle of payload bytes (at 100 TB an
+    Exchange here would shuffle the entire table to answer SELECT *)."""
+    store = _store(spark, tmp_path)
+    df = decode_table(spark, store)
+    assert shuffle_exchanges(df) == 0, explain_text(df)
+
+
+def test_filter_gt_plan_pushes_zone_map_and_no_exchange(spark, tmp_path):
+    from learn_to_compress_spark.operators import filter_gt_table
+
+    store = _store(spark, tmp_path, "plan_store_f")
+    df = filter_gt_table(spark, store, "turn_idx", 50, ["conv_id", "turn_idx"])
+    plan = explain_text(df)
+    assert shuffle_exchanges(df) == 0, plan
+    pushed = pushed_filters(df)
+    assert any("zmax" in p for p in pushed), (pushed, plan)
+
+
+def test_lineage_count_reads_no_payload(spark, tmp_path):
+    store = _store(spark, tmp_path, "plan_store_c")
     lin = read_lineage(spark, store).agg(F.sum("n_rows"))
     for fields in scan_read_schema(lin):
         assert "payload" not in fields, fields
 
 
-def test_sum_scan_prunes_payloadless_columns(spark, tmp_path):
-    """The sum operator's scan reads only the target column's chunk rows:
-    the `column = X` predicate appears in PushedFilters."""
-    store = str(tmp_path / "plan_store2")
-    encode_table(transcripts_df(spark, 60, parallelism=2), store, num_parts=4)
+def test_sum_is_metadata_only(spark, tmp_path):
+    """SUM reads only the vsum decimal leaf — nested schema pruning keeps
+    payload bytes entirely out of the scan, and no Python worker appears in
+    the plan (pure JVM aggregate)."""
+    store = _store(spark, tmp_path, "plan_store_s")
     from learn_to_compress_spark.operators import sum_column
 
-    plan = sum_column(spark, store, "turn_idx")
-    pushed = pushed_filters(plan)
-    assert any("turn_idx" in p or "column" in p for p in pushed), pushed
+    plan_df = sum_column(spark, store, "turn_idx")
+    schemas = scan_read_schema(plan_df)
+    assert schemas, "expected at least one scan"
+    for fields in schemas:
+        assert "payload" not in str(fields), fields
+    plan = explain_text(plan_df)
+    assert "vsum" in plan
+    assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan, plan
+
+    # the metadata sum agrees with the compressed-domain kernel sum
+    from learn_to_compress_spark.operators import sum_column_kernel
+
+    a = sum_column(spark, store, "turn_idx").collect()[0][0]
+    b = sum_column_kernel(spark, store, "turn_idx").collect()[0][0]
+    assert int(a) == int(b)
+
+
+def test_column_pruned_decode_reads_only_needed_payloads(spark, tmp_path):
+    store = _store(spark, tmp_path, "plan_store_p")
+    one_col = decode_table(spark, store, columns=["turn_idx"])
+    plan = explain_text(one_col)
+    # the scan's ReadSchema must not include other columns' structs
+    for fields in scan_read_schema(one_col):
+        joined = ",".join(str(f) for f in fields)
+        assert "c_text" not in joined, plan

@@ -140,17 +140,21 @@ def test_codec_shares_make_sense(spark, store):
     """role/tool (low cardinality) → dict; turn_idx (ramp) → leco/delta."""
     from learn_to_compress_spark.chunkstore import read_chunks
 
-    shares = (
-        read_chunks(spark, store)
-        .groupBy("column", "codec")
-        .count()
-        .toPandas()
-        .pivot_table(index="column", columns="codec", values="count", fill_value=0)
-    )
-    role_codecs = shares.loc["role"]
-    assert role_codecs.get("str_dict", 0) > 0
-    turn = shares.loc["turn_idx"]
-    assert turn.get("leco", 0) + turn.get("delta", 0) + turn.get("for", 0) > 0
+    chunks = read_chunks(spark, store)
+    role = {
+        r.codec: r.cnt
+        for r in chunks.groupBy(F.col("c_role.codec").alias("codec"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert role.get("str_dict", 0) > 0, role
+    turn = {
+        r.codec: r.cnt
+        for r in chunks.groupBy(F.col("c_turn_idx.codec").alias("codec"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert turn.get("leco", 0) + turn.get("delta", 0) + turn.get("for", 0) > 0, turn
 
 
 def test_bitmap_selective_decode(spark, store):
