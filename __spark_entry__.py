@@ -213,6 +213,26 @@ def _learned_decode_query():
     return fn
 
 
+def _window_counts_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.streaming.windows import turns_per_window_batch
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return turns_per_window_batch(ev, "1 hour", ts_col="ts", conv_col="user_id")
+
+    return fn
+
+
+def _user_progress_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.streaming.windows import conversation_progress_batch
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return conversation_progress_batch(ev, conv_col="user_id", ts_col="ts")
+
+    return fn
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {
         # scan→encode→store→decode roundtrips (ops #1-25 via auto-selection)
@@ -248,6 +268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CART learned codec selection (op #37): full encode→decode roundtrip
         # with the learned selector choosing every int codec
         "decode_events_learned": _learned_decode_query(),
+        # streaming surface, batch twins (streaming/windows.py): the same
+        # F.window plan the watermarked stream runs, and the converged state
+        # of the stateful conversation-progress operator — both SQL-checkable
+        "events_turns_per_window": _window_counts_query(),
+        "events_user_progress": _user_progress_query(),
     }
     from queries_pipeline import pipeline_queries
 
@@ -287,6 +312,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts FROM events WHERE event_id % 97 = 0"
         ),
         "decode_events_learned": "SELECT event_id, ts, user_id, value FROM events",
+        "events_turns_per_window": (
+            "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, "
+            "CAST(COUNT(*) AS BIGINT) AS n_turns, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs "
+            "FROM events GROUP BY 1"
+        ),
+        "events_user_progress": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS max_ts "
+            "FROM events GROUP BY user_id"
+        ),
     }
     from queries_pipeline import pipeline_oracle_sql
 

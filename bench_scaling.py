@@ -206,11 +206,13 @@ is reported. All passes:
 Compression ratio on this input: **{r_small['ratio']:.4f}** (identical at
 both levels — the job is deterministic).
 
-Plan shape: one shuffle (salted repartition by `pmod(xxhash64(conv_id,
-turn_block), P)`, a fixed {NUM_PARTS} partitions at BOTH levels — identical
-plan, identical output bytes), then an embarrassingly parallel `mapInPandas`
-encode kernel; decode is a chunk-grouped `applyInPandas`. The only serial
-points are driver-side planning and the lineage commit. Input, chunk store
+Plan shape: encode is one shuffle (salted repartition by `pmod(xxhash64(
+conv_id, turn_block), P)`, a fixed {NUM_PARTS} partitions at BOTH levels —
+identical plan, identical output bytes) into an embarrassingly parallel
+`mapInArrow` encode kernel; decode is SHUFFLE-FREE — each chunk-store row is
+self-contained (one row per chunk, one struct per column), so the plan is a
+pure scan → `mapInArrow` with no Exchange (asserted by `tests/test_plans.py`).
+The only serial points are driver-side planning and the lineage commit. Input, chunk store
 and shuffle dirs live on tmpfs for BOTH levels: this box has one disk shared
 by every parallelism level, whereas 4N executors on a real cluster bring 4N
 local disks — tmpfs keeps that shared-disk ceiling out of the comparison. On a real cluster

@@ -12,11 +12,15 @@ the reference only wraps the upstream library (``headers/string/fsst_string.h:17
 * encoding replaces greedy-longest-match symbol occurrences by their
   1-byte code; bytes not covered by any symbol are escaped (2 bytes).
 
-Divergence from the reference wrapper: we compress a chunk's concatenated
-string blob as one stream and keep *uncompressed-domain* offsets (themselves
-int-codec-compressed, like ``experiments/example_fsst.cpp:86-107`` delta-encodes
-them), so per-chunk decode is one vectorized pass; the reference keeps
-compressed-domain offsets for per-string random access.
+Rows are compressed independently (one compiled-regex pass each — the call
+overhead is negligible next to the matching work) and BOTH offset columns
+are kept, int-codec-compressed like ``experiments/example_fsst.cpp:86-107``:
+uncompressed-domain ends for the vectorized full-chunk decode, and
+compressed-domain ends for per-string random access
+(``headers/string/fsst_string.h:67-77`` — decode ONLY the requested rows'
+compressed spans). Decoding the concatenation equals concatenating per-row
+decodes because the code stream is stateless (escape pairs are local), so
+full decode stays one pass.
 
 Serialized symbol table: ``n_sym:u8 | (len:u8, bytes)*``.
 """
@@ -73,6 +77,30 @@ def compress(data: bytes, symbols: list[bytes]) -> bytes:
         return c if c is not None else b"\xff" + g
 
     return pat.sub(repl, data)
+
+
+def compress_rows(blob: bytes, ends: np.ndarray, symbols: list[bytes]):
+    """Compress each row's span independently → (compressed blob,
+    compressed-domain ends). Matches never span row boundaries, so any row
+    can be decoded from its compressed span alone."""
+    pat, code_of = _compile(symbols)
+
+    def repl(m: re.Match) -> bytes:
+        g = m.group(0)
+        c = code_of.get(g)
+        return c if c is not None else b"\xff" + g
+
+    parts = []
+    comp_ends = np.empty(len(ends), dtype=np.int64)
+    start = 0
+    total = 0
+    for i, end in enumerate(ends):
+        piece = pat.sub(repl, blob[start:end])
+        parts.append(piece)
+        total += len(piece)
+        comp_ends[i] = total
+        start = end
+    return b"".join(parts), comp_ends
 
 
 def _decode_tables(symbols: list[bytes]):

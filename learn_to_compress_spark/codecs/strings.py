@@ -102,11 +102,12 @@ class StrRawCodec:
 
 
 class FsstStringCodec:
-    """FSST over the concatenated blob; uncompressed-domain offsets.
+    """FSST with rows compressed independently; BOTH offset domains stored.
 
-    Layout: ``offsets-sub-block | symtab | comp_len:u64 | compressed blob``.
-    (Training/compression are Python over the blob — FSST has no Arrow
-    kernel; the cost model rarely picks it when word_dict applies.)
+    Layout: ``offsets-sub-block | symtab | comp-ends-sub-block | comp blob``.
+    Uncompressed-domain ends drive the one-pass full decode; compressed-
+    domain ends give per-string random access (``fsst_string.h:67-77``) —
+    :meth:`gather` decodes only the requested rows' spans.
     """
 
     name = "fsst"
@@ -115,25 +116,44 @@ class FsstStringCodec:
         arr = _as_binary_array(strs)
         blob, ends = _blob_and_ends(arr)
         symbols = fsst_mod.train(blob)
-        comp = fsst_mod.compress(blob, symbols)
+        comp, comp_ends = fsst_mod.compress_rows(blob, ends, symbols)
         return b"".join(
             [
                 _encode_ints_best(ends),
                 fsst_mod.serialize_table(symbols),
-                struct.pack("<Q", len(comp)),
+                _encode_ints_best(comp_ends.astype(np.uint64)),
                 comp,
             ]
         )
 
+    def _parts(self, payload: bytes, n: int):
+        ends_u, off = _decode_ints_best(payload, 0, n)
+        symbols, off = fsst_mod.deserialize_table(payload, off)
+        comp_ends_u, off = _decode_ints_best(payload, off, n)
+        return ends_u.astype(np.int64), symbols, comp_ends_u.astype(np.int64), off
+
     def decode(self, payload: bytes, n: int) -> pa.Array:
         if n == 0:
             return pa.array([], type=pa.large_binary())
-        ends_u, off = _decode_ints_best(payload, 0, n)
-        symbols, off = fsst_mod.deserialize_table(payload, off)
-        (comp_len,) = struct.unpack_from("<Q", payload, off)
-        comp = payload[off + 8 : off + 8 + comp_len]
+        ends, symbols, comp_ends, off = self._parts(payload, n)
+        comp = payload[off : off + int(comp_ends[-1])]
         blob = fsst_mod.decompress(bytes(comp), symbols)
-        return _from_blob(blob, ends_u.astype(np.int64))
+        return _from_blob(blob, ends)
+
+    def gather(self, payload: bytes, positions: np.ndarray, n: int) -> pa.Array:
+        """Per-string random access: decode only the selected rows'
+        compressed spans (compressed-domain offsets, the reference's
+        ``randomdecodeArray8`` shape for strings)."""
+        if n == 0 or len(positions) == 0:
+            return pa.array([], type=pa.large_binary())
+        ends, symbols, comp_ends, off = self._parts(payload, n)
+        comp_starts = np.concatenate(([0], comp_ends[:-1]))
+        pieces = []
+        for pos in np.asarray(positions, dtype=np.int64):
+            span = payload[off + comp_starts[pos] : off + comp_ends[pos]]
+            pieces.append(fsst_mod.decompress(bytes(span), symbols))
+        out_ends = np.cumsum([len(b) for b in pieces]).astype(np.int64)
+        return _from_blob(b"".join(pieces), out_ends)
 
 
 class DictStringCodec:
@@ -411,3 +431,5 @@ class LecoStringCodec:
 
 
 STRING_CODEC_CLASSES[LecoStringCodec.name] = LecoStringCodec
+# the wide rung registers itself on import (see strings_wide.py; imported by
+# learn_to_compress_spark.select, which every framing entry point goes through)

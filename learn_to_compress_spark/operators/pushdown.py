@@ -150,7 +150,11 @@ def _gather_table(
                 for name in out_cols:
                     lg = logical_of[name]
                     payload = pcols[name][i].as_py()
-                    if lg in ("string", "double"):
+                    if lg == "string":
+                        from ..select import column_gather_string_arrow
+
+                        arr = column_gather_string_arrow(payload, n, pos)
+                    elif lg == "double":
                         arr = decode_column_arrow(payload, n, lg).take(
                             pa.array(pos, type=pa.int64())
                         )

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from .codecs import CODEC_IDS, CODEC_NAMES, int_candidates, int_codec
+from .codecs import strings_wide as _strings_wide  # noqa: F401 — registers the wide rung
 from .codecs.strings import (
     STRING_CODEC_CLASSES,
     DictStringCodec,
@@ -42,7 +43,14 @@ _UNSIGNED_OF = {
     "timestamp_ntz_us": np.uint64,
 }
 
-STRING_CODEC_IDS = {"str_raw": 16, "fsst": 17, "str_dict": 18, "word_dict": 19, "leco_str": 20}
+STRING_CODEC_IDS = {
+    "str_raw": 16,
+    "fsst": 17,
+    "str_dict": 18,
+    "word_dict": 19,
+    "leco_str": 20,
+    "leco_str_wide": 21,
+}
 STRING_CODEC_NAMES = {v: k for k, v in STRING_CODEC_IDS.items()}
 
 STR_SAMPLE_ROWS = 512  # strings keep sampling: FSST size has no closed form
@@ -292,11 +300,17 @@ def _pick_string_codec(arr) -> str:
     import pyarrow as pa
 
     cands = [DictStringCodec(), WordDictCodec(), FsstStringCodec(), StrRawCodec()]
-    # LeCo-string (op #24) joins the race only for blocks on its uint64 rung
-    # (short strings after common-prefix strip); eligibility is checked on
-    # the FULL chunk so a sample never over-promises
+    # LeCo-string (op #24) joins the race only for blocks on one of its
+    # rungs (uint64 fast path, or the 128/256-bit wide rung for longer
+    # ID-like suffixes); eligibility is checked on the FULL chunk so a
+    # sample never over-promises
     if LecoStringCodec.eligible(arr):
         cands.append(LecoStringCodec())
+    else:
+        from .codecs.strings_wide import LecoStringWideCodec
+
+        if LecoStringWideCodec.eligible(arr):
+            cands.append(LecoStringWideCodec())
     n = len(arr)
     if n <= 2048:
         sizes = {c.name: len(c.encode(arr)) for c in cands}
@@ -476,6 +490,29 @@ def column_gather(payload: bytes, n: int, logical: str, positions: np.ndarray):
     if logical.startswith("timestamp"):
         return pd.Series(signed.view("datetime64[us]"))
     return pd.Series(signed)
+
+
+def column_gather_string_arrow(payload: bytes, n: int, positions: np.ndarray):
+    """String values at row positions. Density-adaptive like the int path:
+    sparse lists on codecs with per-string random access (FSST
+    compressed-domain offsets, ``fsst_string.h:67-77``) decode only the
+    selected rows; dense lists or null-bearing columns take one full decode
+    + Arrow ``take``."""
+    import pyarrow as pa
+
+    positions = np.asarray(positions, dtype=np.int64)
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    name = STRING_CODEC_NAMES[payload[off]]
+    codec = STRING_CODEC_CLASSES[name]()
+    if (
+        valid is None
+        and hasattr(codec, "gather")
+        and n
+        and len(positions) / n <= 0.2
+    ):
+        return codec.gather(payload[off + 1 :], positions, n).cast(pa.large_string())
+    return decode_string_column_arrow(payload, n).take(pa.array(positions))
 
 
 # ---------------------------------------------------------------------------

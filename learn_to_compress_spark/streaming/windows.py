@@ -42,6 +42,39 @@ def turns_per_window(
     )
 
 
+def turns_per_window_batch(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Batch twin of :func:`turns_per_window` (same ``F.window`` plan minus
+    the watermark, EXACT distinct count instead of HLL): the correctness
+    surface the driver oracles — ``time_bucket``-equivalent windows are
+    ANSI-SQL checkable, and the streaming test asserts stream == batch.
+    Output: (window_start, n_turns, n_convs)."""
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.count_distinct(conv_col).alias("n_convs"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_turns", "n_convs")
+    )
+
+
+def conversation_progress_batch(
+    df: DataFrame, conv_col: str = "conv_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Batch twin of the stateful :func:`conversation_progress`: the final
+    per-conversation state (row count + latest timestamp) as a plain
+    aggregate — what the state store converges to once the stream drains.
+    Output: (conv_id-named col, n_turns, max_ts)."""
+    return df.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"), F.max(ts_col).alias("max_ts")
+    )
+
+
 CONV_STATE_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),

@@ -418,3 +418,104 @@ def test_mod_band_nulls_never_match():
     vals = ser.to_numpy(dtype="float64", na_value=np.nan)
     want = [i for i, v in enumerate(vals) if not np.isnan(v) and 5 < int(v) % 14 < 13]
     assert list(pos) == want
+
+
+# ---------------------------------------------------------------------------
+# LeCo-string wide rungs (operator #24: uint128/uint256 ladder,
+# experiments/leco_string_subset.cpp:108-133)
+# ---------------------------------------------------------------------------
+
+
+def _wide_ids(n=4096):
+    import hashlib
+
+    return sorted(
+        f"item:{i:08d}:{hashlib.md5(str(i).encode()).hexdigest()[:24]}"
+        for i in range(n)
+    )
+
+
+def test_leco_str_wide_roundtrip_and_beats_fsst():
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings import FsstStringCodec, LecoStringCodec
+    from learn_to_compress_spark.codecs.strings_wide import LecoStringWideCodec
+
+    ids = _wide_ids()
+    arr = pa.array([s.encode() for s in ids], type=pa.large_binary())
+    assert not LecoStringCodec.eligible(arr)  # past the uint64 rung
+    assert LecoStringWideCodec.eligible(arr)
+    c = LecoStringWideCodec()
+    payload = c.encode(arr)
+    assert c.decode(payload, len(ids)).cast(pa.large_string()).to_pylist() == ids
+    assert len(payload) < len(FsstStringCodec().encode(arr))
+
+
+def test_leco_str_wide_selected_via_framing():
+    import pyarrow as pa
+
+    ids = _wide_ids()
+    arr = pa.array(ids, type=pa.large_string())
+    name, payload = encode_string_column(pd.Series(ids))
+    assert name == "leco_str_wide", name
+    out = decode_string_column(payload, len(ids))
+    assert list(out) == ids
+
+
+def test_leco_str_wide_ragged_lengths():
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings_wide import LecoStringWideCodec
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(2000):
+        tail = "".join(rng.choice(list("0123456789abcdef"), size=rng.integers(12, 30)))
+        rows.append(f"k{i:07d}-{tail}")
+    rows.sort()
+    arr = pa.array([s.encode() for s in rows], type=pa.large_binary())
+    if LecoStringWideCodec.eligible(arr):
+        c = LecoStringWideCodec()
+        got = c.decode(c.encode(arr), len(rows)).cast(pa.large_string()).to_pylist()
+        assert got == rows
+
+
+# ---------------------------------------------------------------------------
+# FSST per-string random access (operator #22, fsst_string.h:67-77)
+# ---------------------------------------------------------------------------
+
+
+def test_fsst_gather_matches_decode():
+    import pyarrow as pa
+
+    text = ("the quick brown assistant called the tool with args " * 300).encode()
+    strs = [text[i : i + 60 + (i % 40)] for i in range(0, len(text) - 100, 97)]
+    fsst = FsstStringCodec()
+    payload = fsst.encode(strs)
+    full = fsst.decode(payload, len(strs)).to_pylist()
+    assert full == strs
+    pos = np.array([0, 5, len(strs) - 1, 17, 17, 3])
+    got = fsst.gather(payload, pos, len(strs)).to_pylist()
+    assert got == [strs[p] for p in pos]
+
+
+def test_string_framing_gather_sparse_and_dense():
+    from learn_to_compress_spark.select import (
+        STRING_CODEC_IDS,
+        column_gather_string_arrow,
+    )
+
+    text = ("conversation about columnar compression " * 200).encode()
+    strs = [text[i : i + 50] for i in range(0, 4000, 40)]
+    # force the fsst codec through the framing layer by encoding directly
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings import FsstStringCodec as FS
+
+    payload = bytes([0, STRING_CODEC_IDS["fsst"]]) + FS().encode(strs)
+    sparse = np.array([3, 50, 99])
+    got = column_gather_string_arrow(payload, len(strs), sparse).to_pylist()
+    assert got == [strs[p].decode() for p in sparse]
+    dense = np.arange(len(strs))
+    got = column_gather_string_arrow(payload, len(strs), dense).to_pylist()
+    assert got == [s.decode() for s in strs]
