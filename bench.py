@@ -95,13 +95,22 @@ def main() -> int:
 
     # --- training-pipeline ops ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from learn_to_compress_spark.functions.dedup import minhash_dedup_pairs
+    from learn_to_compress_spark.functions.dedup import (
+        minhash_dedup_pairs,
+        simhash_near_dup_pairs,
+    )
 
     with timed("dedup_minhash"):
         minhash_dedup_pairs(docs, threshold=0.8).count()
+    with timed("dedup_simhash"):
+        simhash_near_dup_pairs(docs, max_hamming=3).count()
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    from learn_to_compress_spark.functions.similarity import brute_topk
+    from learn_to_compress_spark.functions.similarity import (
+        brute_topk,
+        lsh_topk,
+        parquet_num_rows,
+    )
 
     import numpy as np
 
@@ -110,6 +119,9 @@ def main() -> int:
     )
     with timed("ann_brute_topk"):
         brute_topk(emb, qv, k=10).collect()
+    n_emb = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    with timed("ann_lsh_topk"):
+        lsh_topk(emb, qv, k=10, n_rows=n_emb, multiprobe=3).collect()
 
     shutil.rmtree(work, ignore_errors=True)
 

@@ -139,7 +139,7 @@ def pipeline_queries():
         "text_token_counts": q_token_counts,
         "text_quality_counts": q_quality_counts,
         "text_fingerprints": q_fingerprints,
-        "text_langid": q_langid,  # rows-only (heuristic, no SQL oracle)
+        "text_langid": q_langid,  # oracle: heuristic recomputed in SQL
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
         "dedup_simhash_pairs": q_dedup_simhash,
@@ -215,8 +215,31 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.95
 """
 
 
+def _langid_oracle_sql():
+    from learn_to_compress_spark.functions.text import _STOPWORDS
+
+    cols = []
+    for lang, words in _STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            "len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"[{lst}])) AS {lang}"
+        )
+    langs = list(_STOPWORDS)
+    g = f"greatest({', '.join(langs)})"
+    cases = " ".join(f"WHEN {lang} = {g} THEN '{lang}'" for lang in langs)
+    return (
+        f"WITH s AS (SELECT doc_id, {', '.join(cols)} FROM documents) "
+        f"SELECT doc_id, CASE WHEN {g} = 0 THEN 'unknown' {cases} END AS lang_pred "
+        "FROM s"
+    )
+
+
 def pipeline_oracle_sql():
     return {
+        # the stopword-voting heuristic recomputed verbatim in SQL (same
+        # stopword lists, same first-match tie-break order)
+        "text_langid": _langid_oracle_sql(),
         "text_token_counts": (
             "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
