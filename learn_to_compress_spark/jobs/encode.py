@@ -310,34 +310,54 @@ def encode_table(
     run_id: str | None = None,
     selection: str = "exact",
     shuffle_width: int | None = None,
+    presorted: bool = False,
 ) -> dict:
     """Encode ``df`` into the chunk store; returns job metrics.
 
     ``key_cols``: (partition key, order keys...) — ``(conv_id, turn_idx)``
     for transcripts. All other columns ride along and are chunked in the
     same stable order.
+
+    ``presorted=True`` is the locality fast path for inputs that are ALREADY
+    clustered by the keys (the common shape for transcript tables: writers
+    append whole conversations, so files are conv-contiguous — exactly like
+    Spark skipping the exchange for bucketed joins). The salted repartition
+    and sort are skipped entirely: the plan is scan → ``mapInArrow`` → write
+    with ZERO shuffle, commit units are the input splits
+    (``spark_partition_id``), and skew cannot hot-spot because a chunk caps
+    at ``chunk_rows`` regardless of conversation length. Resume requires the
+    same input + scan configuration (split count is persisted and
+    validated). Default stays the salted shuffle — correct for ANY row
+    order, per the north-star skew clause.
     """
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     colspecs = colspecs_of(df)
-    # logical commit units default to 4× the shuffle width: repartition()
-    # routes part_ids to tasks by murmur3, and with a 1:1 domain ~1/e of the
-    # tasks land empty while others get doubled; a 4× domain gives every task
-    # ~4 parts and bounds the straggler ratio, and finer parts also mean
-    # finer resume granularity
-    default_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if presorted:
+        default_parts = df.rdd.getNumPartitions()
+        salt_block = 0  # unused: partition mapping is the input split id
+    else:
+        # logical commit units default to 4× the shuffle width: repartition()
+        # routes part_ids to tasks by murmur3, and with a 1:1 domain ~1/e of
+        # the tasks land empty while others get doubled; a 4× domain gives
+        # every task ~4 parts and bounds the straggler ratio, and finer parts
+        # also mean finer resume granularity
+        default_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     num_parts, salt_block = _persist_or_validate_schema(
         store, colspecs, key_cols, num_parts, salt_block, default_parts
     )
 
-    first_key = key_cols[0]
-    salt_parts = [F.col(first_key)]
-    if len(key_cols) > 1:
-        second = df.schema[key_cols[1]].dataType.typeName()
-        if second in ("integer", "long"):
-            salt_parts.append((F.col(key_cols[1]) / F.lit(salt_block)).cast("long"))
-    part_col = F.pmod(F.xxhash64(*salt_parts), F.lit(num_parts)).cast("int")
-    work = df.withColumn("_part_id", part_col)
+    if presorted:
+        work = df.withColumn("_part_id", F.spark_partition_id())
+    else:
+        first_key = key_cols[0]
+        salt_parts = [F.col(first_key)]
+        if len(key_cols) > 1:
+            second = df.schema[key_cols[1]].dataType.typeName()
+            if second in ("integer", "long"):
+                salt_parts.append((F.col(key_cols[1]) / F.lit(salt_block)).cast("long"))
+        part_col = F.pmod(F.xxhash64(*salt_parts), F.lit(num_parts)).cast("int")
+        work = df.withColumn("_part_id", part_col)
 
     if resume:
         done = [r.part_id for r in read_lineage(spark, store).select("part_id").distinct().collect()]
@@ -345,13 +365,20 @@ def encode_table(
             work = work.filter(~F.col("_part_id").isin(done))
 
     t0 = time.monotonic()
-    if shuffle_width is None:
-        shuffle_width = max(1, num_parts // 4)
-    encoded = (
-        work.repartition(shuffle_width, "_part_id")
-        .sortWithinPartitions("_part_id", *key_cols)
-        .mapInArrow(_make_kernel(colspecs, chunk_rows, selection), schema=chunk_schema(colspecs))
-    )
+    if presorted:
+        # narrow plan: the filter preserves the scan partitioning, and each
+        # task sees exactly one _part_id, so chunk seq counters stay unique
+        encoded = work.mapInArrow(
+            _make_kernel(colspecs, chunk_rows, selection), schema=chunk_schema(colspecs)
+        )
+    else:
+        if shuffle_width is None:
+            shuffle_width = max(1, num_parts // 4)
+        encoded = (
+            work.repartition(shuffle_width, "_part_id")
+            .sortWithinPartitions("_part_id", *key_cols)
+            .mapInArrow(_make_kernel(colspecs, chunk_rows, selection), schema=chunk_schema(colspecs))
+        )
     # per-run partition directory (Hive-style): readers discover ``run_id``
     # as a partition column, the lineage metrics job lists ONLY this run's
     # files (at 10^12 rows a metrics pass must not scan the whole store),

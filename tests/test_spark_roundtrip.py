@@ -186,3 +186,39 @@ def test_learned_selection_encode_roundtrip(spark, tmp_path):
     raw = _collect_sorted(df)
     dec = _collect_sorted(decode_table(spark, path))
     pd.testing.assert_frame_equal(dec, raw)
+
+
+def test_presorted_encode_roundtrip_and_resume(spark, tmp_path):
+    """presorted=True (input already clustered by keys): zero-shuffle plan,
+    bit-identical roundtrip, and split-id resume semantics."""
+    path = str(tmp_path / "presorted_store")
+    df = transcripts_df(spark, 300, parallelism=4)
+    m = encode_table(df, path, chunk_rows=CHUNK_ROWS, presorted=True)
+    assert m["ratio"] < 1.0
+
+    raw = _collect_sorted(df)
+    dec = _collect_sorted(decode_table(spark, path))
+    assert len(raw) == len(dec)
+    assert raw["text"].equals(dec["text"])
+    assert (raw["ts"].to_numpy() == dec["ts"].to_numpy()).all()
+
+    # the encode plan has no Exchange anywhere (scan -> mapInArrow)
+    from learn_to_compress_spark.jobs.encode import chunk_schema, colspecs_of, _make_kernel
+
+    work = df.withColumn("_part_id", F.spark_partition_id())
+    plan = work.mapInArrow(
+        _make_kernel(colspecs_of(df), CHUNK_ROWS), schema=chunk_schema(colspecs_of(df))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # resume: all splits committed -> second run encodes nothing new
+    m2 = encode_table(df, path, chunk_rows=CHUNK_ROWS, presorted=True, run_id="again")
+    from learn_to_compress_spark.chunkstore import read_lineage
+
+    lin = read_lineage(spark, path).toPandas()
+    assert lin.part_id.is_unique  # no split re-encoded
+    assert m2["rows"] == m["rows"]
+
+    # mode mixing is an error, not a silent remap
+    with pytest.raises(ValueError):
+        encode_table(df, path, chunk_rows=CHUNK_ROWS, presorted=False)
