@@ -81,6 +81,18 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram (5-byte shingle) Jaccard dedup as its own surface: LSH
+    candidates verified with EXACT set-Jaccard, pair + similarity returned.
+    The oracle recomputes the same Jaccard brute-force over all pairs — at
+    sf0.01 LSH recall is 1.0, so the sets and values match exactly."""
+    from learn_to_compress_spark.functions.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from learn_to_compress_spark.functions.dedup import simhash_near_dup_pairs
 
@@ -142,6 +154,7 @@ def pipeline_queries():
         "text_langid": q_langid,  # oracle: heuristic recomputed in SQL
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -173,6 +186,13 @@ SELECT ia AS id_a, ib AS id_b
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.8
 """
+
+# same brute force, but returning the exact Jaccard value per pair
+_NGRAM_JACCARD_ORACLE_SQL = _MINHASH_ORACLE_SQL.replace(
+    "SELECT ia AS id_a, ib AS id_b",
+    "SELECT ia AS id_a, ib AS id_b, "
+    "round(n * 1.0 / (ca.c + cb.c - n), 6) AS jaccard",
+)
 
 # recompute the identical md5-based 64-bit SimHash signatures and
 # brute-force all pairs with Hamming distance ≤ 3
@@ -261,6 +281,7 @@ def pipeline_oracle_sql():
             "MIN(doc_id) AS keeper_id FROM documents GROUP BY md5(text)"
         ),
         "dedup_minhash_pairs": _MINHASH_ORACLE_SQL,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE_SQL,
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_brute_topk": _BRUTE_TOPK_SQL,
         "ann_lsh_topk": _BRUTE_TOPK_SQL,  # graded as exactness vs brute force
