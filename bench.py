@@ -67,6 +67,14 @@ def main() -> int:
     assert n_dec == m["rows"], (n_dec, m["rows"])
     extra["transcript_rows_per_sec_encode"] = round(m["rows"] / timings["encode_transcripts"])
     extra["transcript_rows_per_sec_decode"] = round(n_dec / timings["decode_transcripts"])
+    # presorted fast path: the input parquet is conv-clustered, so the
+    # zero-shuffle locality plan applies (scan → mapInArrow → write)
+    with timed("encode_transcripts_presorted"):
+        mp = encode_table(tdf, f"{work}/transcripts_pre", resume=False, presorted=True)
+    assert mp["rows"] == m["rows"]
+    extra["transcript_rows_per_sec_encode_presorted"] = round(
+        mp["rows"] / timings["encode_transcripts_presorted"]
+    )
 
     # --- events + lineitem ---
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
