@@ -246,6 +246,60 @@ def _arrow_chunk_schema(colspecs):
     return pa.schema(fields)
 
 
+def _parse_bytes(v: str) -> int:
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10)):
+        if s.endswith(suf + "b"):
+            s, mult = s[: -len(suf) - 1], m
+            break
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def _tune_presorted_splits(spark, df: DataFrame) -> dict | None:
+    """Size file splits so the zero-shuffle presorted scan fills the cluster.
+
+    The presorted path's parallelism IS the input split count. On a real
+    cluster the table dwarfs ``maxPartitionBytes × cores`` and this is a
+    no-op (returns None without touching conf). At the small end — a table
+    whose bytes pack into fewer splits than cores (openCostInBytes padding
+    makes this worse for many small files) — the scan would leave most
+    cores idle for the whole encode, so shrink the split size to
+    ``total_bytes / defaultParallelism`` for the duration of this job and
+    return the previous conf values for the caller to restore. Only local
+    ``file:`` sources are probed; anything else keeps cluster defaults.
+    """
+    tgt = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = path[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        if not os.path.isabs(path) or not os.path.exists(path):
+            return None
+        total += os.path.getsize(path)
+    if total == 0:
+        return None
+    k_max = "spark.sql.files.maxPartitionBytes"
+    k_open = "spark.sql.files.openCostInBytes"
+    old = {k_max: spark.conf.get(k_max), k_open: spark.conf.get(k_open)}
+    want = max(1 << 20, total // max(tgt, 1))
+    if want >= _parse_bytes(old[k_max]):
+        return None  # input already yields >= cores splits
+    spark.conf.set(k_max, str(want))
+    spark.conf.set(k_open, str(64 * 1024))
+    return old
+
+
 def _persist_or_validate_schema(
     store: str,
     colspecs: list[tuple[str, str]],
@@ -333,7 +387,11 @@ def encode_table(
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     colspecs = colspecs_of(df)
+    restore_conf: dict | None = None
     if presorted:
+        # split sizing BEFORE resolving the split count — the count is the
+        # persisted partition mapping (see _tune_presorted_splits)
+        restore_conf = _tune_presorted_splits(spark, df)
         default_parts = df.rdd.getNumPartitions()
         salt_block = 0  # unused: partition mapping is the input split id
     else:
@@ -386,7 +444,12 @@ def encode_table(
     # payloads are already entropy-coded, so snappy on top costs CPU at
     # every write AND read for ~no size gain.
     run_dir = os.path.join(chunks_path(store), f"run_id={run_id}")
-    encoded.write.mode("append").option("compression", "uncompressed").parquet(run_dir)
+    try:
+        encoded.write.mode("append").option("compression", "uncompressed").parquet(run_dir)
+    finally:
+        if restore_conf:
+            for key, val in restore_conf.items():
+                spark.conf.set(key, val)
     wall_ms = (time.monotonic() - t0) * 1000
 
     # lineage commit: aggregate this run's chunk rows into per-part metrics —
