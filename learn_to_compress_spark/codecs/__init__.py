@@ -10,6 +10,7 @@ from .delta_var import DeltaVarCodec
 from .dict_ import DictCodec
 from .intcodecs import DeltaCodec, ForCodec, LecoFixCodec, RawCodec, RleCodec
 from .leco_var import LecoVarCodec
+from .leco_var_dp import LecoVarDpCodec
 from .outlier import LecoOutlierCodec
 from .poly import Poly2Codec
 
@@ -24,13 +25,14 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "poly2": Poly2Codec,
     "delta_var": DeltaVarCodec,
     "leco_outlier": LecoOutlierCodec,
+    "leco_var_dp": LecoVarDpCodec,
 }
 
 # stable ids for embedding a codec choice inside payloads / chunk meta
 # (append-only: ids are persisted inside chunk payloads)
 CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
     ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2",
-     "delta_var", "leco_outlier"]
+     "delta_var", "leco_outlier", "leco_var_dp"]
 )}
 CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
 

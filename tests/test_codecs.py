@@ -20,7 +20,20 @@ from learn_to_compress_spark.select import (
     encode_string_column,
 )
 
-RNG = np.random.default_rng(42)
+class _FreshRNG:
+    """Order-independent determinism: every draw comes from a fresh
+    fixed-seed stream keyed only by the method name, so adding/removing
+    earlier tests (or registry codecs) can never shift the data a later
+    test sees."""
+
+    def __init__(self, seed=42):
+        self._seed = seed
+
+    def __getattr__(self, name):
+        return getattr(np.random.default_rng((self._seed, sum(name.encode()))), name)
+
+
+RNG = _FreshRNG(42)
 
 
 def fixtures_u32():
@@ -519,3 +532,31 @@ def test_string_framing_gather_sparse_and_dense():
     dense = np.arange(len(strs))
     got = column_gather_string_arrow(payload, len(strs), dense).to_pylist()
     assert got == [s.decode() for s in strs]
+
+
+def test_leco_var_dp_windowed_optimal_certifies_heuristic():
+    """DP certification (``headers/piecewise_cost_dp.h:219-299``): on
+    short-segment data the windowed-optimal DP must (a) roundtrip, (b) never
+    exceed the split+merge heuristic's size, and (c) certify the heuristic's
+    regret vs the byte optimum stays small."""
+    rng = np.random.default_rng(7)
+    # stepwise slopes with breaks every ~40 slots — segments << window=256
+    n = 2048
+    breaks = np.sort(rng.choice(np.arange(8, n - 8), size=50, replace=False))
+    vals = np.zeros(n, dtype=np.int64)
+    cur, slope = 1000, 3
+    prev = 0
+    for b in list(breaks) + [n]:
+        ln = b - prev
+        vals[prev:b] = cur + slope * np.arange(ln)
+        cur = int(vals[b - 1]) + int(rng.integers(-500, 500))
+        slope = int(rng.integers(-5, 6))
+        prev = b
+    vals = (vals - vals.min()).astype(np.uint64)
+    dp = int_codec("leco_var_dp", np.uint64)
+    heur = int_codec("leco_var", np.uint64)
+    p_dp, p_h = dp.encode(vals), heur.encode(vals)
+    np.testing.assert_array_equal(dp.decode(p_dp, n), vals)
+    assert len(p_dp) <= len(p_h)
+    # heuristic regret vs windowed optimum bounded (certification claim)
+    assert len(p_h) <= 1.25 * len(p_dp)
