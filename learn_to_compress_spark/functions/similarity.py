@@ -266,3 +266,148 @@ def near_dup_pairs(
 
     cos = (dot / (norm(F.col("vec_a")) * norm(F.col("vec_b")))).alias("cosine")
     return joined.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH.
+#
+# IVF-Flat as in the published FAISS design (Johnson, Douze, Jégou,
+# "Billion-scale similarity search with GPUs", 2017): spherical k-means
+# centroids partition the vector space; each vector is assigned to its
+# nearest centroid (the "inverted list"); a query scans only the ``nprobe``
+# nearest lists. On a cluster the inverted list id doubles as a Hive
+# partition key, so probing is parquet partition PRUNING — the 100 TB query
+# reads nprobe/k_clusters of the bytes before any float math runs.
+# Training is on a deterministic hash-sample collected to the driver: the
+# sample size (and therefore driver memory) is fixed and independent of
+# table size.
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    k_clusters: int = 16,
+    sample_target: int = 8192,
+    n_rows: int | None = None,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids (unit-norm, cosine metric), trained on a
+    deterministic hash-sample of ≤ ~2×``sample_target`` vectors.
+
+    Sampling is ``xxhash64(id) pmod m == 0`` with ``m`` derived from
+    ``n_rows`` (pass :func:`parquet_num_rows` — footer metadata, no count
+    job); the collect is bounded regardless of table size. Seeded k-means++
+    init + Lloyd iterations, all numpy, fully deterministic."""
+    if n_rows is not None and n_rows > sample_target:
+        m = max(int(n_rows // sample_target), 1)
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+    rows = df.select(vec_col).limit(4 * sample_target).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k_clusters, len(X))
+    rng = np.random.default_rng(42)
+    # k-means++ seeding under cosine distance (1 - dot on unit vectors)
+    cents = [X[rng.integers(len(X))]]
+    for _ in range(1, k):
+        d = 1.0 - np.max(np.stack([X @ c for c in cents]), axis=0)
+        d = np.clip(d, 0.0, None)
+        p = d / d.sum() if d.sum() > 0 else np.full(len(X), 1.0 / len(X))
+        cents.append(X[rng.choice(len(X), p=p)])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            mem = X[assign == j]
+            if len(mem):
+                v = mem.sum(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) inverted-list assignment — one shuffle-free
+    ``mapInPandas`` pass; centroids ship in the task closure (k×dim floats).
+
+    Persist this (or the source rows + ``cluster``) partitioned by
+    ``cluster`` to make query-time probing a partition-pruned scan."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("cluster", T.IntegerType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64").to_numpy(),
+                    "cluster": np.argmax(mat @ C.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: np.ndarray,
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 4,
+    k_clusters: int = 16,
+    n_rows: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: rank centroids against the query on
+    the driver (k_clusters dots — trivial), keep the ``nprobe`` nearest
+    lists, exact cosine only on their members. Candidate fraction ≈
+    nprobe/k_clusters of the table. Pass precomputed ``centroids`` to skip
+    training (the production shape: train once, index once, query many).
+
+    The scan assigns AND scores in one shuffle-free ``mapInPandas`` pass —
+    no candidate join of any size; the only exchange is the k-row top-k.
+    With a persisted :func:`ivf_assign` index (store partitioned by
+    ``cluster``) the probe filter becomes parquet partition pruning and the
+    scan touches only nprobe/k_clusters of the bytes."""
+    q = np.asarray(query, np.float64)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, len(q), k_clusters, n_rows=n_rows, id_col=id_col, vec_col=vec_col
+        )
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(C @ qn))[: min(nprobe, len(C))]
+    probe_mask = np.zeros(len(C), dtype=bool)
+    probe_mask[order] = True
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("cosine", T.DoubleType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+            unit = mat / norms[:, None]
+            keep = probe_mask[np.argmax(unit @ C.T, axis=1)]
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").to_numpy()[keep],
+                    "cosine": (unit[keep] @ qn),
+                }
+            )
+
+    scored = df.select(id_col, vec_col).mapInPandas(kernel, schema)
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -121,6 +121,39 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _with_label_clusters(spark, sf_dir) -> DataFrame:
+    """Deterministic label-anchored clustered view: the raw testdata vectors
+    are near-orthogonal noise (no cluster structure — IVF recall there would
+    be vacuous candidate-fraction sampling), so anchor each vector at its
+    label's basis direction with the raw vector as 5% noise. IVF's contract
+    (high recall at nprobe/k_clusters cost on clustered data) is real on
+    this shape; the oracle applies the identical transformation in SQL."""
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") * 0.05
+            + F.when(i == F.col("label"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from learn_to_compress_spark.functions.similarity import (
+        ivf_topk,
+        parquet_num_rows,
+    )
+
+    emb = _with_label_clusters(spark, sf_dir)
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0], np.float64
+    )
+    n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    # k_clusters = the 10 label anchors; nprobe 3 (vs the sufficient 1) so
+    # recall 1.0 never hinges on one k-means run landing perfectly
+    return ivf_topk(emb, q, k=10, nprobe=3, k_clusters=10, n_rows=n).select("vec_id")
+
+
 _PLANT_N = 50  # vec_ids planted as near-duplicates (scaled + shifted copies)
 _PLANT_OFFSET = 1_000_000
 
@@ -158,6 +191,7 @@ def pipeline_queries():
         "dedup_simhash_pairs": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
     }
 
@@ -168,6 +202,20 @@ _BRUTE_TOPK_SQL = (
     "    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cosine"
     "  FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 10)"
 )
+
+# exact top-10 over the label-anchored clustered view (same transformation
+# as _with_label_clusters; DuckDB lambda index i is 1-based, Spark's 0-based)
+_IVF_TOPK_SQL = """
+WITH ce AS (
+  SELECT vec_id, list_transform(embedding,
+    (x, i) -> CAST(x AS DOUBLE) * 0.05
+              + CASE WHEN i - 1 = label THEN 1.0 ELSE 0.0 END) AS e
+  FROM embeddings
+)
+SELECT vec_id FROM (
+  SELECT vec_id, list_cosine_similarity(e, (SELECT e FROM ce WHERE vec_id = 0)) AS c
+  FROM ce ORDER BY c DESC, vec_id ASC LIMIT 10)
+"""
 
 # brute-force shingle(5)-Jaccard ≥ 0.8 (documents are ASCII, so DuckDB's
 # char substrings equal the engine's utf-8 byte shingles)
@@ -285,5 +333,6 @@ def pipeline_oracle_sql():
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_brute_topk": _BRUTE_TOPK_SQL,
         "ann_lsh_topk": _BRUTE_TOPK_SQL,  # graded as exactness vs brute force
+        "ann_ivf_topk": _IVF_TOPK_SQL,  # exact top-10 on the clustered view
         "embedding_near_dups": _NEAR_DUP_ORACLE_SQL,
     }

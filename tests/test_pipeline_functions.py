@@ -104,6 +104,43 @@ def test_lsh_topk_recall_vs_brute(spark):
     assert len(brute & lsh) >= 5
 
 
+def test_ivf_topk_clustered_recall(spark):
+    """IVF on clustered data (its contract): k-means recovers the planted
+    clusters, a 2-probe query returns the exact top-k of the query's own
+    cluster; assignments are pure (no shuffle before the kernel)."""
+    from learn_to_compress_spark.functions.similarity import (
+        brute_topk,
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    n_clusters, per, dim = 6, 40, 16
+    anchors = np.eye(dim)[:n_clusters] * 4.0
+    vecs = np.concatenate(
+        [anchors[c] + rng.normal(scale=0.3, size=(per, dim)) for c in range(n_clusters)]
+    )
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(len(vecs))
+    ]
+    df = spark.createDataFrame(rows)
+    q = vecs[5]
+    cents = train_ivf_centroids(df, dim, k_clusters=n_clusters, n_rows=len(vecs))
+    assert cents.shape == (n_clusters, dim)
+    # assignment groups whole planted clusters together
+    assign = {r.id: r.cluster for r in ivf_assign(df, cents).collect()}
+    for c in range(n_clusters):
+        ids = [c * per + j for j in range(per)]
+        assert len({assign[i] for i in ids}) == 1
+    brute = [r.vec_id for r in brute_topk(df, q, k=10).collect()]
+    ivf = [
+        r.vec_id
+        for r in ivf_topk(df, q, k=10, centroids=cents, nprobe=2).collect()
+    ]
+    assert ivf == brute
+
+
 def test_near_dup_pairs_banded_recall_and_cap(spark):
     """Planted near-identical vectors are all found by the banded bucket
     join; unrelated random vectors produce no pairs at the threshold."""
