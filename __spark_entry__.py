@@ -26,6 +26,7 @@ _KEYS = {
     "orders": ("o_orderkey",),
     "events": ("user_id", "ts"),
     "documents": ("doc_id",),
+    "customer": ("c_custkey",),
 }
 
 _STORE_ROOT = os.environ.get("LTC_STORE_ROOT", "/tmp/ltc_stores")
@@ -248,6 +249,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_documents": _decode_query(
             "documents", ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        # wide-string LeCo rung (op #24: 18-char sorted ID strings exceed the
+        # uint64 rung) + dictionary strings + decimal-scaled doubles
+        "decode_customer": _decode_query(
+            "customer",
+            ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        ),
+        # timestamps + decimal doubles + single-char status strings
+        "decode_orders": _decode_query(
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        ),
         # column-pruned decode (chunk store reads only the named columns)
         "project_orders_keys": _decode_query("orders", ["o_orderkey", "o_custkey"]),
         # SUM pushdown from compressed payloads (op #32)
@@ -289,6 +302,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decode_events": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
         "decode_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "decode_customer": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer"
+        ),
+        "decode_orders": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+            "o_orderdate, o_orderpriority FROM orders"
+        ),
         "project_orders_keys": "SELECT o_orderkey, o_custkey FROM orders",
         "sum_lineitem_orderkey": "SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_l_orderkey FROM lineitem",
         "sum_events_userid": "SELECT CAST(SUM(user_id) AS BIGINT) AS sum_user_id FROM events",
