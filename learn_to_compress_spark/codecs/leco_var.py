@@ -30,6 +30,17 @@ from ..bitpack import pack_signmag, unpack_signmag
 from .base import IntCodec, bits_int
 
 _SEG_META = 4 + 1 + 8 + 8  # start:u32 + bit:u8 + theta0:f64 + theta1:f64
+
+_XBUF = np.arange(4096, dtype=np.float64)
+
+
+def _xrange(m: int) -> np.ndarray:
+    """Cached local-slot index vector (the segment sweep asks for one ~6k
+    times per 64Ki chunk; re-allocating aranges was measurable)."""
+    global _XBUF
+    if m > _XBUF.size:
+        _XBUF = np.arange(m + (m >> 1), dtype=np.float64)
+    return _XBUF[:m]
 _MIN_SEG = 16
 
 
@@ -73,7 +84,7 @@ class LecoVarCodec(IntCodec):
         (``piecewise_cost_merge_integer_template_link.h:112-113``): float64
         keeps residual widths tight on our 64Ki-row chunks, where float32
         slope error alone would add bits; costs 8 bytes/segment."""
-        x = np.arange(e - s, dtype=np.float64)
+        x = _xrange(e - s)
         with np.errstate(invalid="ignore", over="ignore"):
             pred = (theta0 + theta1 * x).astype(np.int64)
             return y64[s:e] - pred, pred
@@ -90,19 +101,22 @@ class LecoVarCodec(IntCodec):
         floor-aligned shift (error range pushed just below zero) — the
         latter truncates an exactly-quantized ramp to zero residuals."""
         theta0, theta1 = fitter.fit(s, e)
-        err, _ = self._seg_resid(y64, s, e, theta0, theta1)
+        # ONE model evaluation; both recenter candidates are derived from it
+        # (callers wrap the segment sweep in a single np.errstate context —
+        # per-call errstate was ~30% of encode wall at 6k segments/chunk)
+        yseg = y64[s:e]
+        predf = theta0 + theta1 * _xrange(e - s)
+        err = yseg - predf.astype(np.int64)
         lo, hi = int(err.min()), int(err.max())
-        x = np.arange(e - s, dtype=np.float64)
-        with np.errstate(invalid="ignore", over="ignore"):
-            errf = y64[s:e].astype(np.float64) - (theta0 + theta1 * x)
+        errf = yseg - predf
         hf = float(errf.max()) if e > s else 0.0
         best = None
-        for t0 in (theta0 + (hi + lo) / 2.0, theta0 + hf):
-            err2, _ = self._seg_resid(y64, s, e, t0, theta1)
+        for shift in ((hi + lo) / 2.0, hf):
+            err2 = yseg - (predf + shift).astype(np.int64)
             amax2 = int(np.abs(err2).argmax())
             m2 = int(np.abs(err2[amax2]))
             if best is None or m2 < best[0]:
-                best = (m2, t0, amax2)
+                best = (m2, theta0 + shift, amax2)
         max_err, theta0, amax = best
         l = bits_int(max_err) + 1 if max_err else 0
         if l >= self.width:
@@ -111,6 +125,10 @@ class LecoVarCodec(IntCodec):
         return _SEG_META + (-(-(e - s) * l // 8)), l, theta0, theta1, amax
 
     def encode(self, values: np.ndarray) -> bytes:
+        with np.errstate(invalid="ignore", over="ignore"):
+            return self._encode_impl(values)
+
+    def _encode_impl(self, values: np.ndarray) -> bytes:
         values = np.ascontiguousarray(values, dtype=self.dtype)
         n = values.size
         y64 = values.astype(np.int64) if self.width < 64 else values.view(np.int64)

@@ -153,6 +153,10 @@ class LecoVarDpCodec(LecoVarCodec):
         return segs
 
     def encode(self, values: np.ndarray) -> bytes:
+        with np.errstate(invalid="ignore", over="ignore"):
+            return self._encode_impl(values)
+
+    def _encode_impl(self, values: np.ndarray) -> bytes:
         values = np.ascontiguousarray(values, dtype=self.dtype)
         n = values.size
         y64 = values.astype(np.int64) if self.width < 64 else values.view(np.int64)
