@@ -1,0 +1,168 @@
+"""Property-based fuzz of the codec layer (hypothesis).
+
+The reference's tests are example-driven benchmark drivers
+(``experiments/*.cpp`` assert roundtrip equality on fixed datasets); these
+properties assert the same contracts — decode∘encode = id, gather = decode
+then index, sum = exact Python-int sum, filter_gt = positions of x > v —
+over adversarial generated inputs: extreme magnitudes (int64 min/max),
+duplicates, sorted/reversed runs, single elements, and strings with nulls,
+empties and 0xFF bytes (FSST escape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from learn_to_compress_spark.codecs import INT_CODEC_CLASSES, int_codec
+
+SLOW = {"leco_var_dp"}  # O(window³) encode: fewer examples below
+FAST_CODECS = sorted(set(INT_CODEC_CLASSES) - SLOW)
+
+
+def _arrays(draw, min_size=1, max_size=400):
+    """int64 arrays biased toward codec-relevant shapes."""
+    shape = draw(st.sampled_from(["random", "sorted", "runs", "affine"]))
+    n = draw(st.integers(min_size, max_size))
+    elems = st.integers(-(2**63), 2**63 - 1)
+    base = draw(
+        st.lists(elems, min_size=n, max_size=n).map(
+            lambda v: np.array(v, dtype=np.int64)
+        )
+    )
+    if shape == "sorted":
+        base = np.sort(base)
+    elif shape == "runs":
+        reps = draw(st.integers(1, 17))
+        base = np.repeat(base, reps)[: max(n, 1)]
+    elif shape == "affine":
+        slope = draw(st.integers(-1000, 1000))
+        noise = draw(st.integers(0, 5))
+        idx = np.arange(base.size, dtype=np.int64)
+        base = (
+            draw(st.integers(-(2**40), 2**40)) + slope * idx + (base % (noise + 1))
+        ).astype(np.int64)
+    return base
+
+
+int64_arrays = st.composite(_arrays)()
+
+
+@pytest.mark.parametrize("codec_name", FAST_CODECS)
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_roundtrip_gather_sum_filter_properties(codec_name, data):
+    vals = data.draw(int64_arrays).view(np.uint64)
+    n = vals.size
+    codec = int_codec(codec_name, np.uint64)
+    payload = codec.encode(vals)
+    out = codec.decode(payload, n)
+    np.testing.assert_array_equal(out, vals)
+    pos = data.draw(
+        st.lists(st.integers(0, n - 1), min_size=1, max_size=50).map(
+            lambda p: np.array(p, dtype=np.int64)
+        )
+    )
+    np.testing.assert_array_equal(codec.gather(payload, pos, n), vals[pos])
+    assert codec.sum(payload, n) == int(vals.sum(dtype=object))
+    v = int(data.draw(st.sampled_from([int(vals.min()), int(vals.max()), 0, 2**63])))
+    np.testing.assert_array_equal(
+        np.sort(codec.filter_gt(payload, n, v)), np.flatnonzero(vals > v)
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_leco_var_dp_roundtrip_property(data):
+    vals = data.draw(int64_arrays).view(np.uint64)
+    codec = int_codec("leco_var_dp", np.uint64)
+    np.testing.assert_array_equal(
+        codec.decode(codec.encode(vals), vals.size), vals
+    )
+
+
+strings = st.lists(
+    st.one_of(
+        st.none(),  # nulls: handled by the framing layer's validity bitmap
+        st.text(max_size=50),  # arbitrary unicode incl. astral planes
+        st.just("\xff" * 9),
+        st.just(""),
+    ),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=strings)
+def test_string_framing_roundtrip_property(rows):
+    """End-to-end column framing (validity bitmap + codec race) over
+    adversarial unicode with nulls and empties — the exact surface the
+    Spark encode kernel calls per chunk."""
+    import pandas as pd
+
+    from learn_to_compress_spark.select import (
+        decode_string_column,
+        encode_string_column,
+    )
+
+    ser = pd.Series(rows, dtype="object")
+    _, payload = encode_string_column(ser)
+    out = decode_string_column(payload, len(rows))
+    assert [None if pd.isna(v) else v for v in out] == rows
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_int_framing_roundtrip_property(data):
+    """Int framing with nulls + order-preserving sign flip."""
+    import pandas as pd
+
+    from learn_to_compress_spark.select import decode_int_column, encode_int_column
+
+    vals = data.draw(int64_arrays)
+    null_at = data.draw(
+        st.lists(st.integers(0, vals.size - 1), max_size=20, unique=True)
+    )
+    ser = pd.Series(vals, dtype="Int64")
+    ser.iloc[null_at] = pd.NA
+    _, payload = encode_int_column(ser, "int64")
+    out = decode_int_column(payload, len(ser), "int64")
+    assert out.isna().equals(ser.isna())
+    mask = ~ser.isna()
+    assert (out[mask].astype("int64") == ser[mask].astype("int64")).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=True, width=64),
+            st.integers(-10**6, 10**6).map(lambda v: v / 100.0),  # decimal shapes
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_double_framing_roundtrip_property(vals):
+    """Double framing is bitwise exact (decimal-scale fast path or raw
+    bit-pattern fallback) for any finite/infinite float64 mix with nulls."""
+    import pandas as pd
+
+    from learn_to_compress_spark.select import (
+        decode_double_column,
+        encode_double_column,
+    )
+
+    ser = pd.Series(vals, dtype="float64")
+    _, payload = encode_double_column(ser)
+    out = decode_double_column(payload, len(ser))
+    a = ser.to_numpy(dtype="float64")
+    b = out.to_numpy(dtype="float64")
+    assert np.array_equal(a.view(np.uint64), b.view(np.uint64)) or (
+        np.array_equal(np.isnan(a), np.isnan(b))
+        and np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+    )
