@@ -214,6 +214,36 @@ def _learned_decode_query():
     return fn
 
 
+def _compacted_decode_query():
+    """Micro-batch appends → compact_store (atomic lineage swap) → vacuum →
+    decode; the oracle checks the rewritten store is row-identical to the
+    plain table (jobs/compact.py — Iceberg rewrite_data_files analogue)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.jobs import (
+            compact_store,
+            decode_table,
+            encode_table,
+            vacuum_store,
+        )
+
+        _prep(spark)
+        key = hashlib.sha1(f"{os.path.abspath(sf_dir)}::events::compacted".encode()).hexdigest()[:16]
+        store = os.path.join(_STORE_ROOT, key, "events")
+        if not os.path.exists(os.path.join(store, "_schema.json")):
+            ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            for i in range(3):  # stream-shaped appends: 3 runs into the same parts
+                encode_table(
+                    ev.filter(F.col("event_id") % 3 == i),
+                    store, key_cols=("user_id", "ts"), num_parts=16, resume=False,
+                )
+            compact_store(spark, store)
+            vacuum_store(spark, store)
+        return decode_table(spark, store).select("event_id", "ts", "user_id", "value")
+
+    return fn
+
+
 def _window_counts_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.streaming.windows import turns_per_window_batch
@@ -278,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_events_userid_mod_band": _mod_band_query(),
         # selective decode under a bitmap, density-adaptive (op #31)
         "bitmap_decode_events": _bitmap_query(),
+        # maintenance surface: multi-run store → compact → vacuum → decode
+        "decode_events_compacted": _compacted_decode_query(),
         # CART learned codec selection (op #37): full encode→decode roundtrip
         # with the learned selector choosing every int codec
         "decode_events_learned": _learned_decode_query(),
@@ -333,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts FROM events WHERE event_id % 97 = 0"
         ),
         "decode_events_learned": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_compacted": "SELECT event_id, ts, user_id, value FROM events",
         "events_turns_per_window": (
             "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, "
             "CAST(COUNT(*) AS BIGINT) AS n_turns, "

@@ -103,6 +103,27 @@ def lineage_path(store: str) -> str:
     return os.path.join(store, "lineage")
 
 
+def lineage_pointer_path(store: str) -> str:
+    return os.path.join(store, "_lineage_current.json")
+
+
+def lineage_current_dir(store: str) -> str:
+    """Directory holding the CURRENT lineage table.
+
+    Iceberg-style metadata pointer: normally the flat ``lineage/`` dir;
+    after a compaction it is a versioned ``lineage_v/<N>/`` dir named by
+    ``_lineage_current.json``. The pointer file is swapped with
+    ``os.replace`` — the atomic commit point of a compaction (the analogue
+    of Iceberg's metadata-location CAS). Appends (encode runs, stream
+    micro-batches) always land in the current dir, so a lineage version is
+    append-only between compactions."""
+    ptr = lineage_pointer_path(store)
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            return os.path.join(store, json.load(fh)["dir"])
+    return lineage_path(store)
+
+
 def schema_path(store: str) -> str:
     return os.path.join(store, "_schema.json")
 
@@ -115,7 +136,7 @@ def load_store_schema(store: str) -> dict:
 
 
 def read_lineage(spark: SparkSession, store: str) -> DataFrame:
-    path = lineage_path(store)
+    path = lineage_current_dir(store)
     try:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
     except Exception:

@@ -78,7 +78,10 @@ def _pa_of_logical():
 
 
 def decode_table(
-    spark: SparkSession, store: str, columns: list[str] | None = None
+    spark: SparkSession,
+    store: str,
+    columns: list[str] | None = None,
+    parts: list[int] | None = None,
 ) -> DataFrame:
     """Reassembled table DataFrame from the chunk store (column-prunable).
 
@@ -124,4 +127,8 @@ def decode_table(
             *[F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in names],
         ],
     )
+    if parts is not None:
+        # pushable top-level predicate: parquet row-group stats skip chunk
+        # rows of other parts before any payload bytes are read
+        sel = sel.filter(F.col("part_id").isin([int(p) for p in parts]))
     return sel.mapInArrow(kernel, out_schema)

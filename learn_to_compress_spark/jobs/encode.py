@@ -38,7 +38,7 @@ from ..chunkstore import (
     chunk_schema,
     chunks_path,
     col_field,
-    lineage_path,
+    lineage_current_dir,
     read_lineage,
     schema_path,
 )
@@ -365,6 +365,7 @@ def encode_table(
     selection: str = "exact",
     shuffle_width: int | None = None,
     presorted: bool = False,
+    commit: bool = True,
 ) -> dict:
     """Encode ``df`` into the chunk store; returns job metrics.
 
@@ -464,7 +465,25 @@ def encode_table(
         F.sum("enc_bytes").alias("enc_bytes"),
         F.lit(float(wall_ms)).alias("wall_ms"),
     )
-    lineage.write.mode("append").parquet(lineage_path(store))
+    if not commit:
+        # staged run (compaction rewrite): chunk files exist but are
+        # INVISIBLE — the caller swaps them in atomically via the lineage
+        # pointer. A crash leaves an orphan run dir for vacuum_store.
+        st = lineage.agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("enc_bytes").alias("enc"),
+        ).collect()[0]
+        return {
+            "run_id": run_id,
+            "wall_ms": wall_ms,
+            "rows": st.rows or 0,
+            "raw_bytes": st.raw,
+            "enc_bytes": st.enc,
+            "ratio": (st.enc / st.raw) if st.raw else None,
+            "committed": False,
+        }
+    lineage.write.mode("append").parquet(lineage_current_dir(store))
 
     stats = (
         read_lineage(spark, store)
