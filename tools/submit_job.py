@@ -7,6 +7,7 @@ On a real multi-executor cluster:
         tools/submit_job.py encode --input s3://…/transcripts --store s3://…/store
     spark-submit --py-files … tools/submit_job.py decode --store … [--verify-against …]
     spark-submit --py-files … tools/submit_job.py resume --input … --store …
+    spark-submit --py-files … tools/submit_job.py compact --store … [--vacuum]
 
 The script builds no master/local config of its own — spark-submit supplies
 the cluster; it only applies the engine's session settings (AQE + skew join,
@@ -40,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--store", required=True)
     p.add_argument("--output", default=None, help="write decoded rows here (parquet)")
     p.add_argument("--verify-against", default=None, help="original table to compare")
+    p = sub.add_parser("compact", help="rewrite fragmented partitions (atomic swap)")
+    p.add_argument("--store", required=True)
+    p.add_argument("--min-fill", type=float, default=0.5)
+    p.add_argument("--min-runs", type=int, default=2)
+    p.add_argument("--vacuum", action="store_true", help="expire unreferenced bytes after the swap")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -72,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
             selection=args.selection,
         )
         print(json.dumps(metrics))
+        return 0
+
+    if args.cmd == "compact":
+        from learn_to_compress_spark.jobs import compact_store, vacuum_store
+
+        res = compact_store(spark, args.store, min_fill=args.min_fill, min_runs=args.min_runs)
+        if args.vacuum and res["compacted_parts"]:
+            res["vacuum"] = vacuum_store(spark, args.store)
+        print(json.dumps(res))
         return 0
 
     from learn_to_compress_spark.jobs import decode_table
