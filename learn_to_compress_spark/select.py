@@ -596,6 +596,22 @@ def decode_double_column_arrow(payload: bytes, n: int, logical: str = "double"):
 
 
 _DSCALE_ID = 10  # framed double codec id: decimal-scaled integer path
+_DMONO_ID = 11  # framed double codec id: order-preserving bit-pattern map
+_F64_HI = np.uint64(1) << np.uint64(63)
+
+
+def _f64_to_mono(bits: np.ndarray) -> np.ndarray:
+    """Total-order-preserving float64→uint64 bijection: negatives invert all
+    bits, non-negatives set the top bit. Sorted/smooth doubles become
+    sorted/smooth uint64s, so the model codecs (LeCo/delta/FOR) apply — the
+    Spark analogue of the reference's float-payload LeCo for NON-decimal
+    doubles (``piecewise_cost_float.h``); decimal doubles take the exact
+    scaled-int path instead."""
+    return np.where(bits & _F64_HI != 0, ~bits, bits | _F64_HI)
+
+
+def _mono_to_f64(mono: np.ndarray) -> np.ndarray:
+    return np.where(mono & _F64_HI != 0, mono ^ _F64_HI, ~mono)
 
 
 def _try_decimal_scale(vals: np.ndarray):
@@ -641,14 +657,18 @@ def encode_double_column(ser: pd.Series) -> tuple[str, bytes]:
         return f"dscale{k}:{inner_name}", b"".join(parts)
     bits = vals.view(np.uint64)
     if bits.size:
-        sizes = int_codec_sizes(bits, np.uint64)
-        name = min(("raw", "rle", "dict"), key=lambda k2: sizes[k2])
-        payload = int_codec(name, np.uint64).encode(bits)
+        # full codec race over the order-preserving mapping: dict/rle/raw
+        # sizes are invariant under the bijection, while the model codecs
+        # gain the monotone domain (sensor series, sorted doubles)
+        mono = _f64_to_mono(bits)
+        sizes = int_codec_sizes(mono, np.uint64)
+        name = min(sizes, key=lambda k2: sizes[k2])
+        payload = int_codec(name, np.uint64).encode(mono)
     else:
         name, payload = "raw", b""
-    parts.append(bytes([CODEC_IDS[name]]))
+    parts.append(bytes([_DMONO_ID, CODEC_IDS[name]]))
     parts.append(payload)
-    return name, b"".join(parts)
+    return f"dmono:{name}", b"".join(parts)
 
 
 def _decode_double_dense(payload: bytes, off: int, n_valid: int) -> np.ndarray:
@@ -661,6 +681,15 @@ def _decode_double_dense(payload: bytes, off: int, n_valid: int) -> np.ndarray:
             else np.empty(0, np.int64)
         )
         return i64.astype(np.float64) / np.float64(10.0**k)
+    if cid == _DMONO_ID:
+        name = CODEC_NAMES[payload[off + 1]]
+        mono = (
+            int_codec(name, np.uint64).decode(payload[off + 2 :], n_valid)
+            if n_valid
+            else np.empty(0, np.uint64)
+        )
+        return _mono_to_f64(mono).view(np.float64)
+    # legacy layout (pre-dmono stores): codec over the raw bit patterns
     name = CODEC_NAMES[cid]
     bits = (
         int_codec(name, np.uint64).decode(payload[off + 1 :], n_valid)

@@ -560,3 +560,29 @@ def test_leco_var_dp_windowed_optimal_certifies_heuristic():
     assert len(p_dp) <= len(p_h)
     # heuristic regret vs windowed optimum bounded (certification claim)
     assert len(p_h) <= 1.25 * len(p_dp)
+
+
+def test_double_monotone_bitpattern_path():
+    """Non-decimal doubles race the full int-codec set over the total-order-
+    preserving float64→uint64 bijection (float-payload LeCo analogue,
+    ``piecewise_cost_float.h``); smooth series beat raw bit patterns and
+    decode is bitwise exact incl. ±0.0/±inf."""
+    from learn_to_compress_spark.select import decode_double_column, encode_double_column
+
+    rng = np.random.default_rng(3)
+    smooth = pd.Series(np.cumsum(rng.normal(0, 0.01, 8000)) + 100.0)
+    name, payload = encode_double_column(smooth)
+    assert name.startswith("dmono:")
+    assert len(payload) < 0.75 * 8 * len(smooth)
+    out = decode_double_column(payload, len(smooth))
+    assert np.array_equal(
+        out.to_numpy().view(np.uint64), smooth.to_numpy().view(np.uint64)
+    )
+    specials = pd.Series([0.0, -0.0, np.inf, -np.inf, 1e-308, -1e308, np.nan, 3.14])
+    _, p2 = encode_double_column(specials)
+    got = decode_double_column(p2, len(specials)).to_numpy()
+    a = specials.to_numpy()
+    assert np.array_equal(np.isnan(a), np.isnan(got))
+    assert np.array_equal(
+        a[~np.isnan(a)].view(np.uint64), got[~np.isnan(got)].view(np.uint64)
+    )
