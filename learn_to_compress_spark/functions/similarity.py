@@ -138,20 +138,27 @@ def lsh_topk(
     multiprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: bucket prefilter → exact cosine on the
     candidate set only.
 
     Sizing: pass ``n_planes`` directly, or ``n_rows`` (e.g. from
     :func:`parquet_num_rows` footer metadata) to derive it — too many planes
-    on a small table empties every probe bucket. No count job is ever run."""
+    on a small table empties every probe bucket. No count job is ever run.
+
+    ``sigs``: a precomputed :func:`lsh_signatures` frame (persisted/
+    partitioned by ``bucket`` in production, like the :func:`ivf_assign`
+    index) so per-query work is a pruned probe instead of a full signature
+    pass; ``n_planes`` must then match the index."""
     q = np.asarray(query, np.float64)
     dim = len(q)
     if n_planes is None:
         if n_rows is None:
             raise ValueError("pass n_planes or n_rows (e.g. parquet_num_rows(path))")
         n_planes = planes_for_rows(n_rows)
-    sigs = lsh_signatures(df, dim, n_planes, id_col, vec_col)
+    if sigs is None:
+        sigs = lsh_signatures(df, dim, n_planes, id_col, vec_col)
     cand_buckets = _query_buckets(q, n_planes, multiprobe)
     cand_ids = sigs.filter(F.col("bucket").isin(cand_buckets)).select(
         F.col("id").alias(id_col)
