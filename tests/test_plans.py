@@ -82,3 +82,30 @@ def test_column_pruned_decode_reads_only_needed_payloads(spark, tmp_path):
     for fields in scan_read_schema(one_col):
         joined = ",".join(str(f) for f in fields)
         assert "c_text" not in joined, plan
+
+
+def test_part_filtered_decode_pushes_part_id(spark, tmp_path):
+    """Compaction's victim decode: the part predicate reaches the Parquet
+    scan (row-group stats skip other parts' payload bytes) and the plan has
+    no Exchange."""
+    store = _store(spark, tmp_path, "plan_store_v")
+    df = decode_table(spark, store, parts=[0, 1])
+    plan = explain_text(df)
+    assert shuffle_exchanges(df) == 0, plan
+    assert any("part_id" in p for p in pushed_filters(df)), plan
+
+
+def test_compacted_store_decode_still_shuffle_free(spark, tmp_path):
+    from learn_to_compress_spark.jobs import compact_store
+    from learn_to_compress_spark.sources.transcripts import transcripts_df
+
+    store = str(tmp_path / "plan_store_cc")
+    df_in = transcripts_df(spark, 40, parallelism=2).cache()
+    for i in range(2):
+        encode_table(
+            df_in.filter(F.col("turn_idx") % 2 == i), store, num_parts=4,
+            resume=False, chunk_rows=4096,
+        )
+    compact_store(spark, store, chunk_rows=4096)
+    df = decode_table(spark, store)
+    assert shuffle_exchanges(df) == 0, explain_text(df)
