@@ -180,6 +180,18 @@ def _lookup_eq_query():
     return fn
 
 
+def _filter_str_eq_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_eq_string_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return filter_eq_string_table(
+            spark, store, "event_type", "click", ["event_id", "user_id", "event_type"]
+        )
+
+    return fn
+
+
 def _mod_band_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.operators import filter_mod_band_table
@@ -304,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_events_userid_gt": _filter_int_query(),
         # equality point-lookup (ops #33, #34)
         "lookup_events_userid_eq": _lookup_eq_query(),
+        # string equality pushdown: code-domain compare on dict chunks
+        "filter_events_eventtype_eq": _filter_str_eq_query(),
         # modular band filter (op #29)
         "filter_events_userid_mod_band": _mod_band_query(),
         # selective decode under a bitmap, density-adaptive (op #31)
@@ -356,6 +370,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lookup_events_userid_eq": (
             "SELECT event_id, user_id, ts FROM events WHERE user_id = 7"
+        ),
+        "filter_events_eventtype_eq": (
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE event_type = 'click'"
         ),
         "filter_events_userid_mod_band": (
             "SELECT event_id, user_id FROM events "

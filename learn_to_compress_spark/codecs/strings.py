@@ -195,6 +195,26 @@ class DictStringCodec:
         codes, _ = _decode_ints_best(payload, off + blob_len, n)
         return pc.take(uniq, pa.array(codes.view(np.int64)))
 
+    def positions_eq(self, payload: bytes, n: int, needle: bytes) -> np.ndarray:
+        """Equality filter in the CODE domain: decode only the (tiny) unique
+        dictionary, find the needle's code, compare int codes — no row
+        string is ever materialized (the predicate analogue of the
+        reference's dictionary lookup, ``raw_test_dictionary.cpp:107-112``)."""
+        if n == 0:
+            return np.empty(0, np.int64)
+        (n_uniq,) = struct.unpack_from("<I", payload, 0)
+        ends_u, off = _decode_ints_best(payload, 4, n_uniq)
+        ends = ends_u.astype(np.int64)
+        blob_len = int(ends[-1]) if n_uniq else 0
+        uniq = _from_blob(payload[off : off + blob_len], ends)
+        hits = np.flatnonzero(
+            pc.equal(uniq, needle).to_numpy(zero_copy_only=False)
+        )
+        if hits.size == 0:
+            return np.empty(0, np.int64)
+        codes, _ = _decode_ints_best(payload, off + blob_len, n)
+        return np.flatnonzero(codes == np.uint64(int(hits[0])))
+
 
 class WordDictCodec:
     """Word-level dictionary coding for natural-language text.

@@ -1,5 +1,6 @@
 from .pushdown import (
     count_rows,
+    filter_eq_string_table,
     filter_gt_table,
     filter_mod_band_table,
     select_bitmap_table,
@@ -11,6 +12,7 @@ from .pushdown import (
 __all__ = [
     "sum_column",
     "sum_column_kernel",
+    "filter_eq_string_table",
     "filter_gt_table",
     "filter_mod_band_table",
     "select_bitmap_table",

@@ -197,6 +197,32 @@ def filter_gt_table(
     return _gather_table(spark, store, column, out_cols, pos_fn, prune)
 
 
+def filter_eq_string_table(
+    spark: SparkSession,
+    store: str,
+    column: str,
+    value: str,
+    out_cols: list[str],
+) -> DataFrame:
+    """SELECT out_cols WHERE string column = value, from the chunk store.
+
+    Dictionary-coded chunks (the normal case for categorical columns: role,
+    tool, event_type) answer the predicate in the CODE domain — only the
+    tiny per-chunk dictionary is decoded, codes are compared as ints, and
+    out_cols are gathered at match positions (``DictStringCodec.
+    positions_eq``; the predicate analogue of the reference's dictionary
+    lookup, ``experiments/raw_test_dictionary.cpp:107-112``). Other string
+    codecs decode once and compare with one Arrow C++ ``equal`` kernel."""
+    from ..select import column_positions_eq_string
+
+    needle = value.encode()
+
+    def pos_fn(payload, n, logical):
+        return column_positions_eq_string(bytes(payload), n, needle)
+
+    return _gather_table(spark, store, column, out_cols, pos_fn)
+
+
 def lookup_eq_table(
     spark: SparkSession,
     store: str,

@@ -582,6 +582,32 @@ def decode_string_column_arrow(payload: bytes, n: int, logical: str = "string"):
     return arr.cast(pa.large_string())
 
 
+def column_positions_eq_string(payload: bytes, n: int, needle: bytes) -> np.ndarray:
+    """Positions (full-column indices) where a framed string column equals
+    ``needle``; nulls never match. Dictionary-coded chunks compare in the
+    code domain (see ``DictStringCodec.positions_eq``); other codecs decode
+    once and compare with one Arrow C++ ``equal`` kernel."""
+    import pyarrow.compute as pc
+
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    if n_valid == 0:
+        return np.empty(0, np.int64)
+    name = STRING_CODEC_NAMES[payload[off]]
+    codec = STRING_CODEC_CLASSES[name]()
+    body = payload[off + 1 :]
+    pe = getattr(codec, "positions_eq", None)
+    dense = pe(body, n_valid, needle) if pe is not None else None
+    if dense is None:
+        arr = codec.decode(body, n_valid)
+        dense = np.flatnonzero(
+            pc.equal(arr, needle).to_numpy(zero_copy_only=False)
+        )
+    if valid is not None:
+        return np.flatnonzero(valid)[dense]
+    return dense
+
+
 def decode_double_column_arrow(payload: bytes, n: int, logical: str = "double"):
     import pyarrow as pa
 

@@ -586,3 +586,22 @@ def test_double_monotone_bitpattern_path():
     assert np.array_equal(
         a[~np.isnan(a)].view(np.uint64), got[~np.isnan(got)].view(np.uint64)
     )
+
+
+def test_dict_string_positions_eq_code_domain():
+    """DictStringCodec.positions_eq answers equality in the code domain
+    (``raw_test_dictionary.cpp:107-112`` predicate analogue)."""
+    from learn_to_compress_spark.codecs.strings import DictStringCodec
+    from learn_to_compress_spark.select import column_positions_eq_string, encode_string_column
+
+    rows = (["assistant", "user", "tool"] * 300)[:800]
+    codec = DictStringCodec()
+    payload = codec.encode(rows)
+    pos = codec.positions_eq(payload, len(rows), b"user")
+    np.testing.assert_array_equal(pos, [i for i, r in enumerate(rows) if r == "user"])
+    assert codec.positions_eq(payload, len(rows), b"absent").size == 0
+    # framing level: nulls never match, non-dict codecs fall back to decode+equal
+    ser = pd.Series(rows + [None, "user"], dtype="object")
+    name, framed = encode_string_column(ser)
+    got = column_positions_eq_string(framed, len(ser), b"user")
+    np.testing.assert_array_equal(got, [i for i, r in enumerate(ser) if r == "user"])

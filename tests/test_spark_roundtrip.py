@@ -222,3 +222,30 @@ def test_presorted_encode_roundtrip_and_resume(spark, tmp_path):
     # mode mixing is an error, not a silent remap
     with pytest.raises(ValueError):
         encode_table(df, path, chunk_rows=CHUNK_ROWS, presorted=False)
+
+
+def test_filter_eq_string_pushdown(spark, store):
+    """String equality answered from the chunk store: dict chunks compare in
+    the code domain, out_cols gathered at match positions."""
+    from learn_to_compress_spark.operators import filter_eq_string_table
+
+    raw = transcripts_df(spark, 300, parallelism=4)
+    expect = _collect_sorted(
+        raw.filter(F.col("role") == "assistant").select("conv_id", "turn_idx", "role")
+    )
+    got = _collect_sorted(
+        filter_eq_string_table(
+            spark, store, "role", "assistant", ["conv_id", "turn_idx", "role"]
+        )
+    )
+    pd.testing.assert_frame_equal(expect, got)
+    # nullable column (tool is ~85% null): nulls never match
+    expect_t = _collect_sorted(
+        raw.filter(F.col("tool") == "search").select("conv_id", "turn_idx", "tool")
+    )
+    got_t = _collect_sorted(
+        filter_eq_string_table(
+            spark, store, "tool", "search", ["conv_id", "turn_idx", "tool"]
+        )
+    )
+    pd.testing.assert_frame_equal(expect_t, got_t)
