@@ -329,8 +329,37 @@ class LecoFixCodec(IntCodec):
         start = 0
         if theta1 > 0:
             half = float(1 << (max_bit - 1)) if max_bit else 0.0
-            thre = (float(v) + 1.0 - half - theta0) / theta1
-            start = int(np.clip(np.floor(thre), 0, n))
+            # the line model lives in the SIGNED (int64-view) domain while v
+            # is unsigned: for width-64 blocks map v into the model domain —
+            # sound only when the whole block sits on one side of the sign
+            # boundary (its unsigned and signed orders then agree); a
+            # boundary-crossing block falls back to the exact full compare
+            vf: float | None = float(v)
+            if self.width == 64:
+                end = theta0 + theta1 * (n - 1)
+                lo_b = min(theta0, end) - half - 2.0
+                hi_b = max(theta0, end) + half + 2.0
+                if lo_b < 0.0 <= hi_b:
+                    vf = None  # mixed-sign block: start stays 0
+                elif hi_b < 0.0:  # every stored value has the top bit set
+                    vf = float(v - (1 << 64)) if v >= (1 << 63) else None
+                elif v >= 1 << 63:  # block < 2^63 ≤ v: nothing qualifies
+                    return np.empty(0, dtype=np.int64)
+            if vf is not None:
+                thre = (vf + 1.0 - half - theta0) / theta1
+                # cancellation guard: vf and theta0 can be ~2^63 while their
+                # difference is tiny; the subtraction's rounding error
+                # (~4 ulp of the largest operand) in slot units can overshoot
+                # past n and silently drop every match. Back the start off by
+                # the bound; the exact compare below keeps the result correct.
+                err = (
+                    4.0
+                    * np.finfo(np.float64).eps
+                    * max(abs(vf), abs(theta0), half, 1.0)
+                    / abs(theta1)
+                    + 1.0
+                )
+                start = int(np.clip(np.floor(thre - err), 0, n))
         if start >= n:
             return np.empty(0, dtype=np.int64)
         idx = np.arange(start, n, dtype=np.int64)
@@ -356,8 +385,13 @@ class LecoFixCodec(IntCodec):
         max_bit, theta0, theta1, off = self._header(payload)
         if max_bit == self.width or theta1 == 0.0:
             return None
-        # slack: |value − float prediction| < 2^(l-1) + 1 (trunc + residual)
+        # slack: |value − float prediction| < 2^(l-1) + 1 (trunc + residual),
+        # plus the float64 cancellation bound of `band − theta0` at ~2^64
+        # magnitudes (same guard as filter_gt)
         h = float(1 << (max_bit - 1)) + 2.0 if max_bit else 2.0
+        h += 4.0 * np.finfo(np.float64).eps * max(
+            abs(theta0), abs(theta0 + theta1 * (n - 1)), 1.0
+        )
         p0, p1 = theta0, theta0 + theta1 * (n - 1)
         lo_v, hi_v = min(p0, p1) - h, max(p0, p1) + h
         n_periods = int(hi_v // base) - int(np.floor(lo_v / base)) + 1
