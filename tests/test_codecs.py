@@ -605,3 +605,23 @@ def test_dict_string_positions_eq_code_domain():
     name, framed = encode_string_column(ser)
     got = column_positions_eq_string(framed, len(ser), b"user")
     np.testing.assert_array_equal(got, [i for i, r in enumerate(ser) if r == "user"])
+
+
+def test_leco_filter_ops_top_bit_set_blocks():
+    """Width-64 blocks whose stored values have the top bit set (signed-view
+    negatives): filter_gt maps the unsigned threshold into the signed model
+    domain and mod-band carries the float64 cancellation slack — both exact
+    (regression for the inversion bug the property fuzz found)."""
+    vals = (np.arange(329, dtype=np.int64) * 14 - 45651).view(np.uint64)
+    codec = int_codec("leco", np.uint64)
+    payload = codec.encode(vals)
+    for v in [0, 2**63, int(vals.min()), int(vals.max()), 2**64 - 1]:
+        np.testing.assert_array_equal(
+            np.sort(codec.filter_gt(payload, len(vals), v)),
+            np.flatnonzero(vals > v),
+        )
+    res = codec.filter_mod_band(payload, len(vals), 97, 10, 60)
+    signed = vals.view(np.int64)
+    want = np.flatnonzero(((signed % 97) > 10) & ((signed % 97) < 60))
+    if res is not None:
+        np.testing.assert_array_equal(np.sort(res[0]), want)
