@@ -112,11 +112,24 @@ class LecoVarCodec(IntCodec):
         hf = float(errf.max()) if e > s else 0.0
         best = None
         for shift in ((hi + lo) / 2.0, hf):
-            err2 = yseg - (predf + shift).astype(np.int64)
-            amax2 = int(np.abs(err2).argmax())
-            m2 = int(np.abs(err2[amax2]))
+            pred2f = predf + shift
+            # A shift that pushes any prediction outside int64 is unusable:
+            # .astype(int64) would saturate to INT64_MIN, the int64
+            # subtraction wraps, and the wrapped magnitudes lie about the
+            # needed width (hypothesis counterexample [0, 2^63-512, 0]).
+            if not np.isfinite(shift) or float(np.abs(pred2f).max()) >= 2.0**63:
+                continue
+            err2 = yseg - pred2f.astype(np.int64)
+            # |err| in the uint64 view: |INT64_MIN| == 2^63 stays exact
+            # (np.abs(INT64_MIN) is negative in the int64 view and would
+            # corrupt both argmax and the bit-width below)
+            mag2 = np.abs(err2).view(np.uint64)
+            amax2 = int(mag2.argmax())
+            m2 = int(mag2[amax2])
             if best is None or m2 < best[0]:
                 best = (m2, theta0 + shift, amax2)
+        if best is None:  # both recenter candidates overflow — raw escape
+            return _SEG_META + (e - s) * self.dtype.itemsize, self.width, theta0, theta1, 0
         max_err, theta0, amax = best
         l = bits_int(max_err) + 1 if max_err else 0
         if l >= self.width:
@@ -191,20 +204,36 @@ class LecoVarCodec(IntCodec):
                 i += 1
             segments = merged
 
+        return self._serialize(values, y64, segments)
+
+    def _serialize(self, values, y64, segments) -> bytes:
+        """Shared segment serializer (also used by :class:`LecoVarDpCodec`).
+
+        The bit width is re-derived from the ACTUAL serialized residuals and
+        widened if the cost-model estimate under-covered — the cost sweep
+        evaluates ``(predf + shift)`` while `_seg_resid`/decode evaluate
+        ``(theta0 + shift) + theta1*x``; float addition is non-associative,
+        so at ~2^63 magnitudes the two can differ by an ulp. Truncating a
+        magnitude at pack time corrupts data; one extra bit never does.
+        """
         header = [struct.pack("<I", len(segments))]
         starts = np.array([s for s, *_ in segments], dtype=np.uint32)
         header.append(starts.tobytes())
         payloads = []
         for s, e, l, t0, t1 in segments:
-            header.append(struct.pack("<Bdd", l, t0, t1))
+            err = None
+            if 0 < l < self.width:
+                err, _ = self._seg_resid(y64, s, e, t0, t1)
+                mag = np.abs(err).view(np.uint64)
+                mx = int(mag.max()) if mag.size else 0
+                l = max(l, bits_int(mx) + 1 if mx else 0)
+            header.append(struct.pack("<Bdd", min(l, self.width), t0, t1))
             if l == 0:
                 continue
             if l >= self.width:
                 payloads.append(values[s:e].tobytes())
                 continue
-            err, _ = self._seg_resid(y64, s, e, t0, t1)
             sign = err > 0
-            mag = np.abs(err).astype(np.uint64)
             payloads.append(pack_signmag(sign, mag, l).tobytes())
         return b"".join(header + payloads)
 

@@ -40,11 +40,8 @@ random access / segment routing are inherited unchanged):
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
-from ..bitpack import pack_signmag
 from .leco_var import _SEG_META, _Fitter, LecoVarCodec
 
 
@@ -105,10 +102,17 @@ class LecoVarDpCodec(LecoVarCodec):
                 hf = (Y - modelf).max(axis=1)
                 best_m = None
                 for shift in ((hi + lo) / 2.0, hf):
-                    pred2 = (
-                        (theta0 + shift)[:, None] + theta1[:, None] * xloc
-                    ).astype(np.int64)
-                    m2 = np.abs(Y - pred2).max(axis=1)
+                    pred2f = (theta0 + shift)[:, None] + theta1[:, None] * xloc
+                    # candidates whose predictions leave int64 are unusable:
+                    # .astype saturates to INT64_MIN, the subtraction wraps
+                    # and the wrapped magnitudes look falsely small (the
+                    # width-64 top-bit bug — repro [0, 2^63-512, 0]). Force
+                    # such candidates to raw width instead.
+                    bad = np.abs(pred2f).max(axis=1) >= 2.0**63
+                    err2 = Y - pred2f.astype(np.int64)
+                    # |err| via the uint64 view: |INT64_MIN| == 2^63 exact
+                    m2 = np.abs(err2).view(np.uint64).max(axis=1)
+                    m2 = np.where(bad, np.uint64(2**63), m2)
                     best_m = m2 if best_m is None else np.minimum(best_m, m2)
             # bit width: bits(|max|)+1 sign bit; frexp exponent == bit_length
             # for values exact in float64 (may round +1 bit beyond 2^53 —
@@ -165,20 +169,4 @@ class LecoVarDpCodec(LecoVarCodec):
         segments: list[tuple[int, int, int, float, float]] = []
         for base in range(0, n, self.window):
             segments.extend(self._dp_segments(y64, base, fitter))
-
-        header = [struct.pack("<I", len(segments))]
-        starts = np.array([s for s, *_ in segments], dtype=np.uint32)
-        header.append(starts.tobytes())
-        payloads = []
-        for s, e, l, t0, t1 in segments:
-            header.append(struct.pack("<Bdd", l, t0, t1))
-            if l == 0:
-                continue
-            if l >= self.width:
-                payloads.append(values[s:e].tobytes())
-                continue
-            err, _ = self._seg_resid(y64, s, e, t0, t1)
-            sign = err > 0
-            mag = np.abs(err).astype(np.uint64)
-            payloads.append(pack_signmag(sign, mag, l).tobytes())
-        return b"".join(header + payloads)
+        return self._serialize(values, y64, segments)

@@ -625,3 +625,27 @@ def test_leco_filter_ops_top_bit_set_blocks():
     want = np.flatnonzero(((signed % 97) > 10) & ((signed % 97) < 60))
     if res is not None:
         np.testing.assert_array_equal(np.sort(res[0]), want)
+
+
+@pytest.mark.parametrize("codec_name", ["leco_var", "leco_var_dp"])
+def test_leco_var_recenter_overflow_regression(codec_name):
+    """The floor-align recenter shift can push float predictions past 2^63;
+    .astype(int64) saturates, the int64 subtraction wraps, and
+    |INT64_MIN| stays negative — the wrapped max-error looked tiny, so a
+    too-small bit width won and pack truncated 2^63 magnitudes (hypothesis
+    counterexample from round 2's VERDICT). Pins the falsifying block plus
+    neighboring boundary shapes for both the heuristic and the DP codec."""
+    blocks = [
+        np.array([0, 2**63 - 512, 0], dtype=np.uint64),
+        np.array([0, 2**63 - 512, 0, 2**63 - 512], dtype=np.uint64),
+        np.array([2**64 - 1, 0, 2**64 - 1], dtype=np.uint64),
+        np.array([2**63, 2**63 - 1, 2**63], dtype=np.uint64),
+        np.repeat(np.array([0, 2**63 - 512], dtype=np.uint64), 40),
+    ]
+    codec = int_codec(codec_name, np.uint64)
+    for vals in blocks:
+        payload = codec.encode(vals)
+        np.testing.assert_array_equal(codec.decode(payload, vals.size), vals)
+        pos = np.arange(vals.size, dtype=np.int64)[::2]
+        np.testing.assert_array_equal(codec.gather(payload, pos, vals.size), vals[pos])
+        assert codec.sum(payload, vals.size) == int(vals.sum(dtype=object))
