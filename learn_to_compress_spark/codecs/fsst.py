@@ -12,8 +12,8 @@ the reference only wraps the upstream library (``headers/string/fsst_string.h:17
 * encoding replaces greedy-longest-match symbol occurrences by their
   1-byte code; bytes not covered by any symbol are escaped (2 bytes).
 
-Rows are compressed independently (one compiled-regex pass each — the call
-overhead is negligible next to the matching work) and BOTH offset columns
+Rows are compressed independently (one vectorized numpy greedy-parse over
+the whole chunk blob — see :func:`compress_rows`) and BOTH offset columns
 are kept, int-codec-compressed like ``experiments/example_fsst.cpp:86-107``:
 uncompressed-domain ends for the vectorized full-chunk decode, and
 compressed-domain ends for per-string random access
@@ -69,38 +69,186 @@ def train(sample: bytes) -> list[bytes]:
 
 
 def compress(data: bytes, symbols: list[bytes]) -> bytes:
-    pat, code_of = _compile(symbols)
+    comp, _ = compress_rows(data, np.array([len(data)], dtype=np.int64), symbols)
+    return comp
 
-    def repl(m: re.Match) -> bytes:
-        g = m.group(0)
-        c = code_of.get(g)
-        return c if c is not None else b"\xff" + g
 
-    return pat.sub(repl, data)
+class _Matcher:
+    """Vectorized greedy longest-match against one symbol table.
+
+    Structure follows the FSST paper's encoder tables: direct-indexed
+    code tables for 1- and 2-byte symbols, and a 2-byte-prefix GATE whose
+    per-length bitmask says whether any >=3-byte symbol starts with those
+    two bytes — only gated candidate positions ever pay for long-symbol
+    key construction + binary search."""
+
+    def __init__(self, symbols: list[bytes]):
+        self.t1 = np.full(256, -1, dtype=np.int16)
+        self.t2 = np.full(65536, -1, dtype=np.int16)
+        self.gate = np.zeros(65536, dtype=np.uint8)
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for i, s in enumerate(symbols):
+            ln = len(s)
+            if ln == 1:
+                self.t1[s[0]] = i
+            elif ln == 2:
+                self.t2[(s[0] << 8) | s[1]] = i
+            else:
+                self.gate[(s[0] << 8) | s[1]] |= 1 << (ln - 3)
+                by_len.setdefault(ln, []).append((int.from_bytes(s, "big"), i))
+        self.long_by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for ln, entries in sorted(by_len.items()):
+            entries.sort()
+            # sentinel max key keeps searchsorted indices in range
+            keys = np.array([k for k, _ in entries] + [2**64 - 1], dtype=np.uint64)
+            codes = np.array([c for _, c in entries] + [-1], dtype=np.int16)
+            self.long_by_len[ln] = (keys, codes)
+
+    @staticmethod
+    def keys8(bp: np.ndarray, positions: np.ndarray) -> np.ndarray:
+        """Big-endian 8-byte keys of `bp` (zero-padded blob) at positions."""
+        k = np.zeros(positions.size, dtype=np.uint64)
+        for j in range(MAX_SYMBOL_LEN):
+            k |= bp[positions + j].astype(np.uint64) << np.uint64(
+                8 * (MAX_SYMBOL_LEN - 1 - j)
+            )
+        return k
+
+    def longest(self, bp: np.ndarray, positions: np.ndarray, rem: np.ndarray):
+        """(match length, code) of the greedy longest match at each position,
+        capped by `rem` (bytes remaining in the position's row — a match may
+        never cross a row boundary). code -1 = no match (escape, length 1)."""
+        b0 = bp[positions]
+        code = self.t1[b0]
+        ln = np.ones(positions.size, dtype=np.int64)
+        k2 = (b0.astype(np.uint16) << 8) | bp[positions + 1]
+        c2 = self.t2[k2]
+        m2 = (c2 >= 0) & (rem >= 2)
+        code = np.where(m2, c2, code)
+        ln[m2] = 2
+        if self.long_by_len:
+            g = self.gate[k2]
+            ci = np.flatnonzero(g)
+            if ci.size:
+                k8c = self.keys8(bp, positions[ci])
+                gc = g[ci]
+                remc = rem[ci]
+                for length, (keys, codes) in self.long_by_len.items():
+                    sub = np.flatnonzero(
+                        ((gc >> (length - 3)) & 1).astype(bool) & (remc >= length)
+                    )
+                    if not sub.size:
+                        continue
+                    kl = k8c[sub] >> np.uint64(8 * (MAX_SYMBOL_LEN - length))
+                    idx = np.searchsorted(keys, kl)
+                    found = keys[idx] == kl
+                    hit = ci[sub[found]]
+                    ln[hit] = length  # ascending: longer overwrites shorter
+                    code[hit] = codes[idx[found]]
+        return ln, code
+
+
+#: below this many live rows the vectorized walk hands the stragglers to a
+#: per-row finisher (vectorized span match + plain-Python next[] walk) —
+#: otherwise one pathologically long row would pay per-iteration numpy
+#: call overhead for every remaining token
+_STRAGGLERS = 48
+
+
+def _finish_row(mt: _Matcher, bp: np.ndarray, start: int, end: int):
+    """Token positions + codes for one row's remaining span [start, end)."""
+    span = np.arange(start, end, dtype=np.int64)
+    ln, code = mt.longest(bp, span, end - span)
+    pos_out, code_out = [], []
+    i = start
+    while i < end:
+        pos_out.append(i)
+        code_out.append(code[i - start])
+        i += ln[i - start]
+    return (
+        np.array(pos_out, dtype=np.int64),
+        np.array(code_out, dtype=np.int16),
+    )
 
 
 def compress_rows(blob: bytes, ends: np.ndarray, symbols: list[bytes]):
     """Compress each row's span independently → (compressed blob,
     compressed-domain ends). Matches never span row boundaries, so any row
-    can be decoded from its compressed span alone."""
-    pat, code_of = _compile(symbols)
+    can be decoded from its compressed span alone.
 
-    def repl(m: re.Match) -> bytes:
-        g = m.group(0)
-        c = code_of.get(g)
-        return c if c is not None else b"\xff" + g
+    Fully vectorized greedy longest-match — NO per-row or per-match Python
+    (the round-2 per-row ``pat.sub`` loop was the encode-throughput
+    regression: a 64Ki-row text chunk made ~3M Python callback calls):
 
-    parts = []
-    comp_ends = np.empty(len(ends), dtype=np.int64)
-    start = 0
-    total = 0
-    for i, end in enumerate(ends):
-        piece = pat.sub(repl, blob[start:end])
-        parts.append(piece)
-        total += len(piece)
-        comp_ends[i] = total
-        start = end
-    return b"".join(parts), comp_ends
+    * the greedy token chains of ALL rows advance simultaneously, one
+      masked-gather iteration per token ordinal, with matching done
+      on-demand at the current positions only (element work ∝ total
+      token count, not blob size × symbol lengths);
+    * 1/2-byte symbols resolve via direct 256/65536 code tables; longer
+      symbols via a 2-byte-prefix gate + per-length binary search
+      (:class:`_Matcher`, the FSST paper's encoder-table shape);
+    * row-boundary safety is the `rem` cap inside the matcher — no match
+      may cross its row's end, so every row decodes from its own span;
+    * once fewer than `_STRAGGLERS` rows remain live, each leftover row
+      finishes with one vectorized span match + a plain next[] walk
+      (bounds per-iteration numpy overhead on pathologically long rows);
+    * codes/escapes scatter into the output in one pass; per-row
+      compressed ends fall out of a bincount.
+
+    Greedy longest-match at each position is exactly what the round-1
+    length-sorted regex alternation produced, so ratios are unchanged.
+    """
+    ends = np.asarray(ends, dtype=np.int64)
+    n_rows = ends.size
+    nbytes = len(blob)
+    if nbytes == 0 or n_rows == 0:
+        return b"", np.zeros(n_rows, dtype=np.int64)
+    b = np.frombuffer(blob, dtype=np.uint8)
+    bp = np.concatenate([b, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
+    mt = _Matcher(symbols)
+
+    cur = np.concatenate(([0], ends[:-1]))
+    row_ids = np.arange(n_rows, dtype=np.int64)
+    live = cur < ends
+    cur, rid, rend = cur[live], row_ids[live], ends[live]
+    tok_pos: list[np.ndarray] = []
+    tok_row: list[np.ndarray] = []
+    tok_code: list[np.ndarray] = []
+    while cur.size:
+        if cur.size < _STRAGGLERS:
+            for c, r, e in zip(cur, rid, rend):
+                p, k = _finish_row(mt, bp, int(c), int(e))
+                tok_pos.append(p)
+                tok_row.append(np.full(p.size, r, dtype=np.int64))
+                tok_code.append(k)
+            break
+        ln, code = mt.longest(bp, cur, rend - cur)
+        tok_pos.append(cur)
+        tok_row.append(rid)
+        tok_code.append(code)
+        cur = cur + ln
+        keep = cur < rend
+        cur, rid, rend = cur[keep], rid[keep], rend[keep]
+    toks = np.concatenate(tok_pos)
+    rows = np.concatenate(tok_row)
+    code = np.concatenate(tok_code)
+    # stable by-row sort: within a row, append order IS position order
+    order = np.argsort(rows, kind="stable")
+    toks, rows, code = toks[order], rows[order], code[order]
+
+    matched = code >= 0
+    out_len = np.where(matched, 1, 2)
+    out_end = np.cumsum(out_len)
+    off = out_end - out_len
+    out = np.empty(int(out_end[-1]) if out_end.size else 0, dtype=np.uint8)
+    out[off[matched]] = code[matched].astype(np.uint8)
+    esc = ~matched
+    out[off[esc]] = ESCAPE
+    out[off[esc] + 1] = b[toks[esc]]
+
+    row_bytes = np.bincount(rows, weights=out_len, minlength=n_rows)
+    comp_ends = np.cumsum(row_bytes).astype(np.int64)
+    return out.tobytes(), comp_ends
 
 
 def _decode_tables(symbols: list[bytes]):
