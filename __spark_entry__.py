@@ -192,6 +192,36 @@ def _filter_str_eq_query():
     return fn
 
 
+def _filter_str_gt_query():
+    """String range pushdown (op: sorted-string binary search /
+    model inversion in the big-int domain — leco_string_subset.cpp:186-193,
+    binary_search.cpp:63-122): c_name is a sorted 18-char ID column on the
+    wide LeCo rung; the threshold compare runs in the value domain and
+    string zone maps prune chunks at the Parquet scan."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_gt_string_table
+
+        store = _store_for(spark, sf_dir, "customer")
+        return filter_gt_string_table(
+            spark, store, "c_name", "Customer#000000900", ["c_custkey", "c_name"]
+        )
+
+    return fn
+
+
+def _filter_str_prefix_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_prefix_string_table
+
+        store = _store_for(spark, sf_dir, "customer")
+        return filter_prefix_string_table(
+            spark, store, "c_name", "Customer#00000012", ["c_custkey", "c_name"]
+        )
+
+    return fn
+
+
 def _mod_band_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.operators import filter_mod_band_table
@@ -318,6 +348,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_events_userid_eq": _lookup_eq_query(),
         # string equality pushdown: code-domain compare on dict chunks
         "filter_events_eventtype_eq": _filter_str_eq_query(),
+        # string RANGE pushdown: model inversion on the sorted big-int domain
+        # (r3 — VERDICT item 4) + prefix range as two range bounds
+        "filter_customer_name_gt": _filter_str_gt_query(),
+        "filter_customer_name_prefix": _filter_str_prefix_query(),
         # modular band filter (op #29)
         "filter_events_userid_mod_band": _mod_band_query(),
         # selective decode under a bitmap, density-adaptive (op #31)
@@ -374,6 +408,14 @@ def oracle_sql() -> dict[str, str]:
         "filter_events_eventtype_eq": (
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE event_type = 'click'"
+        ),
+        "filter_customer_name_gt": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_name > 'Customer#000000900'"
+        ),
+        "filter_customer_name_prefix": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_name LIKE 'Customer#00000012%'"
         ),
         "filter_events_userid_mod_band": (
             "SELECT event_id, user_id FROM events "

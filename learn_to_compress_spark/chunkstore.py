@@ -38,7 +38,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# per-table-column struct (order matters: persisted inside parquet files)
+# per-table-column struct. Parquet matches nested fields BY NAME, so the
+# string zone maps appended in v2.1 (zsmin/zsmax) read as null on stores
+# written before them — readers treat null as "no zone map, cannot prune".
 COL_STRUCT = T.StructType(
     [
         T.StructField("codec", T.StringType(), False),
@@ -48,6 +50,11 @@ COL_STRUCT = T.StructType(
         T.StructField("vsum", T.DecimalType(38, 0), True),
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("enc_bytes", T.LongType(), False),
+        # string zone maps: lexicographic min/max (UTF8-binary order, the
+        # same collation Spark/DuckDB compare strings with) — lets string
+        # range predicates prune chunks at the Parquet scan like int ones
+        T.StructField("zsmin", T.StringType(), True),
+        T.StructField("zsmax", T.StringType(), True),
     ]
 )
 

@@ -195,6 +195,14 @@ class DictStringCodec:
         codes, _ = _decode_ints_best(payload, off + blob_len, n)
         return pc.take(uniq, pa.array(codes.view(np.int64)))
 
+    def _uniq_and_codes_off(self, payload: bytes, n: int):
+        (n_uniq,) = struct.unpack_from("<I", payload, 0)
+        ends_u, off = _decode_ints_best(payload, 4, n_uniq)
+        ends = ends_u.astype(np.int64)
+        blob_len = int(ends[-1]) if n_uniq else 0
+        uniq = _from_blob(payload[off : off + blob_len], ends)
+        return uniq, off + blob_len
+
     def positions_eq(self, payload: bytes, n: int, needle: bytes) -> np.ndarray:
         """Equality filter in the CODE domain: decode only the (tiny) unique
         dictionary, find the needle's code, compare int codes — no row
@@ -202,18 +210,33 @@ class DictStringCodec:
         reference's dictionary lookup, ``raw_test_dictionary.cpp:107-112``)."""
         if n == 0:
             return np.empty(0, np.int64)
-        (n_uniq,) = struct.unpack_from("<I", payload, 0)
-        ends_u, off = _decode_ints_best(payload, 4, n_uniq)
-        ends = ends_u.astype(np.int64)
-        blob_len = int(ends[-1]) if n_uniq else 0
-        uniq = _from_blob(payload[off : off + blob_len], ends)
+        uniq, codes_off = self._uniq_and_codes_off(payload, n)
         hits = np.flatnonzero(
             pc.equal(uniq, needle).to_numpy(zero_copy_only=False)
         )
         if hits.size == 0:
             return np.empty(0, np.int64)
-        codes, _ = _decode_ints_best(payload, off + blob_len, n)
+        codes, _ = _decode_ints_best(payload, codes_off, n)
         return np.flatnonzero(codes == np.uint64(int(hits[0])))
+
+    def positions_gt(
+        self, payload: bytes, n: int, needle: bytes, strict: bool = True
+    ) -> np.ndarray:
+        """Range filter in the CODE domain: compare only the unique
+        dictionary against the needle (one Arrow C++ kernel over n_uniq
+        values), then select rows whose code is in the matching set via a
+        boolean LUT — no row string materializes (the range analogue of
+        :meth:`positions_eq`; reference string bsearch applies the compare
+        in the value domain the same way, ``binary_search.cpp:63-122``)."""
+        if n == 0:
+            return np.empty(0, np.int64)
+        uniq, codes_off = self._uniq_and_codes_off(payload, n)
+        cmp = pc.greater if strict else pc.greater_equal
+        lut = cmp(uniq, needle).to_numpy(zero_copy_only=False).astype(bool)
+        if not lut.any():
+            return np.empty(0, np.int64)
+        codes, _ = _decode_ints_best(payload, codes_off, n)
+        return np.flatnonzero(lut[codes.view(np.int64)])
 
 
 class WordDictCodec:
@@ -272,6 +295,67 @@ class WordDictCodec:
 STRING_CODEC_CLASSES = {
     c.name: c for c in (StrRawCodec, FsstStringCodec, DictStringCodec, WordDictCodec)
 }
+
+
+def prefix_relation(needle: bytes, prefix: bytes):
+    """How a threshold string relates to a LeCo-string block whose every row
+    starts with ``prefix``:
+
+    * ``"all"`` — every row is > needle (needle sorts before the prefix
+      region, or is a strict prefix of it);
+    * ``"none"`` — no row can be > needle (needle sorts after the region);
+    * ``("suffix", r)`` — rows compare to needle within the suffix domain:
+      row ``prefix+s > needle`` iff ``s > r`` lexicographically.
+    """
+    k = min(len(needle), len(prefix))
+    if needle[:k] < prefix[:k]:
+        return "all"
+    if needle[:k] > prefix[:k]:
+        return "none"
+    if len(needle) < len(prefix):
+        return "all"  # every row extends needle strictly, hence sorts after
+    return ("suffix", needle[len(prefix):])
+
+
+def suffix_bound(r: bytes, alpha, padded: int) -> tuple[int, bool]:
+    """Threshold for the base-K big-integer domain of a LeCo-string block.
+
+    The block maps each (post-prefix, zero-padded) suffix ``s`` to
+    ``g(s) = Horner(ranks(s))`` with pad digit 0 and byte ranks 1..K-1 — a
+    bijection that preserves lexicographic order over representable
+    suffixes. For an arbitrary threshold suffix ``r`` (bytes outside the
+    block alphabet, longer than the pad width), returns ``(T, exact)`` such
+    that a representable ``s <= r`` iff ``g(s) <= T``; ``exact`` means ``r``
+    itself is representable (``g(r) == T``), which callers use to turn
+    >= into > . Digit construction: in-alphabet bytes map exactly; the
+    first out-of-alphabet byte takes the rank of the largest smaller
+    alphabet byte and maxes every later digit (the predecessor bound). The
+    model-inversion compare then runs entirely in the value domain —
+    the string-domain counterpart of the reference's sorted-block binary
+    search (``experiments/binary_search.cpp:63-122`` applied to the
+    ``leco_string_subset.cpp:186-193`` big-int mapping).
+    """
+    K = 257 if alpha is None else len(alpha) + 1
+    digits: list[int] = []
+    exact = len(r) <= padded
+    broke = False
+    for j, byte in enumerate(r[:padded]):
+        if alpha is None:
+            digits.append(byte + 1)
+            continue
+        m = int(np.searchsorted(alpha, byte, side="right"))
+        digits.append(m)
+        if not (m >= 1 and int(alpha[m - 1]) == byte):
+            exact = False
+            digits.extend([K - 1] * (padded - j - 1))
+            broke = True
+            break
+    if not broke:
+        digits.extend([0] * (padded - len(digits)))
+    T = 0
+    for d in digits:
+        T = T * K + d
+    return T, exact
 
 
 class LecoStringCodec:
@@ -405,6 +489,52 @@ class LecoStringCodec:
                 vpay,
             ]
         )
+
+    @staticmethod
+    def _header(payload: bytes):
+        """(prefix bytes, padded, alpha|None, offset past the alphabet)."""
+        p = payload[0]
+        prefix = bytes(payload[1 : 1 + p])
+        padded = payload[1 + p]
+        (alpha_len,) = struct.unpack_from("<H", payload, 2 + p)
+        off = 4 + p
+        alpha = None
+        if alpha_len:
+            alpha = np.frombuffer(payload, np.uint8, count=alpha_len, offset=off)
+            off += alpha_len
+        return prefix, padded, alpha, off
+
+    def positions_gt(
+        self, payload: bytes, n: int, needle: bytes, strict: bool = True
+    ) -> np.ndarray:
+        """Range filter by model inversion in the big-integer domain
+        (operator: sorted-string binary search / range pushdown —
+        ``experiments/leco_string_subset.cpp:186-193`` +
+        ``binary_search.cpp:63-122``): map the threshold into the block's
+        base-K value domain (:func:`suffix_bound`) and run the INNER int
+        codec's ``filter_gt`` (LeCo model inversion / FOR zone compare) —
+        no row string ever materializes."""
+        from . import CODEC_NAMES, int_codec
+
+        if n == 0:
+            return np.empty(0, np.int64)
+        prefix, padded, alpha, off = self._header(payload)
+        rel = prefix_relation(needle, prefix)
+        if rel == "all":
+            return np.arange(n, dtype=np.int64)
+        if rel == "none":
+            return np.empty(0, np.int64)
+        T, exact = suffix_bound(rel[1], alpha, padded)
+        if not strict and exact:
+            T -= 1  # v >= t  <=>  g(v) > g(t) - 1 when t is in-domain
+        if T < 0:
+            return np.arange(n, dtype=np.int64)
+        _lens, off = _decode_ints_best(payload, off, n)
+        inner = CODEC_NAMES[payload[off]]
+        (ln,) = struct.unpack_from("<Q", payload, off + 1)
+        vpay = payload[off + 9 : off + 9 + ln]
+        pos = int_codec(inner, np.uint64).filter_gt(vpay, n, T)
+        return np.sort(np.asarray(pos, dtype=np.int64))
 
     def decode(self, payload: bytes, n: int) -> pa.Array:
         from . import CODEC_NAMES, int_codec

@@ -149,13 +149,13 @@ class LecoStringWideCodec:
             ]
         )
 
-    def decode(self, payload: bytes, n: int) -> pa.Array:
-        from .strings import _from_blob
-
-        if n == 0:
-            return pa.array([], type=pa.large_binary())
+    @staticmethod
+    def _values(payload: bytes, n: int):
+        """(prefix bytes, padded, alpha, lens, big-int value array) — the
+        block's value-domain reconstruction shared by decode and the range
+        pushdown."""
         p = payload[0]
-        prefix = np.frombuffer(payload, np.uint8, count=p, offset=1)
+        prefix = bytes(payload[1 : 1 + p])
         padded = payload[1 + p]
         (alpha_len,) = struct.unpack_from("<H", payload, 2 + p)
         off = 4 + p
@@ -189,6 +189,40 @@ class LecoStringWideCodec:
         pred = np.array([int(v) for v in predf], dtype=object)
         pred[neg] = 0
         vals = np.where(sign, pred + mag, pred - mag)
+        return prefix, padded, alpha, lens, vals
+
+    def positions_gt(
+        self, payload: bytes, n: int, needle: bytes, strict: bool = True
+    ) -> np.ndarray:
+        """Range filter in the wide big-integer value domain: threshold
+        mapped by :func:`~.strings.suffix_bound` (arbitrary-precision T),
+        rows compared as big ints — the suffix peel / byte scatter of a
+        full string decode never runs (``leco_string_subset.cpp:186-193``
+        semantics on the 128/256-bit rung)."""
+        from .strings import prefix_relation, suffix_bound
+
+        if n == 0:
+            return np.empty(0, np.int64)
+        prefix, padded, alpha, _lens, vals = self._values(payload, n)
+        rel = prefix_relation(needle, prefix)
+        if rel == "all":
+            return np.arange(n, dtype=np.int64)
+        if rel == "none":
+            return np.empty(0, np.int64)
+        T, exact = suffix_bound(rel[1], alpha, padded)
+        if not strict and exact:
+            T -= 1
+        return np.flatnonzero(vals > T)
+
+    def decode(self, payload: bytes, n: int) -> pa.Array:
+        from .strings import _from_blob
+
+        if n == 0:
+            return pa.array([], type=pa.large_binary())
+        p = payload[0]
+        prefix_b, padded, alpha, lens, vals = self._values(payload, n)
+        prefix = np.frombuffer(prefix_b, np.uint8)
+        alpha_len = len(alpha)
         # peel base-K digits
         K = int(alpha_len + 1)
         ranks = np.empty((n, padded), dtype=np.int64)

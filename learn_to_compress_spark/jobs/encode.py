@@ -118,6 +118,10 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
         raw = int(
             pc.sum(pc.binary_length(nonnull.cast(pa.large_binary()))).as_py() or 0
         )
+        if len(nonnull):
+            mm = pc.min_max(nonnull.cast(pa.large_string()))
+            info["zsmin"] = mm["min"].as_py()
+            info["zsmax"] = mm["max"].as_py()
     elif logical == "double":
         name, payload = encode_double_column(
             pd.Series(col.to_numpy(zero_copy_only=False))
@@ -162,7 +166,7 @@ def _make_kernel(colspecs, chunk_rows, selection="exact"):
             bounds = [0, *change.tolist(), len(rb)]
             meta = {k: [] for k in ("part_id", "chunk_id", "n_rows", "raw_bytes", "enc_bytes")}
             per_col: dict[str, dict[str, list]] = {
-                name: {k: [] for k in ("codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes")}
+                name: {k: [] for k in ("codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes", "zsmin", "zsmax")}
                 for name, _ in colspecs
             }
             for s, e in zip(bounds[:-1], bounds[1:]):
@@ -183,6 +187,8 @@ def _make_kernel(colspecs, chunk_rows, selection="exact"):
                         d["zmin"].append(info.get("zmin"))
                         d["zmax"].append(info.get("zmax"))
                         d["vsum"].append(info.get("vsum"))
+                        d["zsmin"].append(info.get("zsmin"))
+                        d["zsmax"].append(info.get("zsmax"))
                         d["raw_bytes"].append(info["raw_bytes"])
                         d["enc_bytes"].append(info["enc_bytes"])
                         chunk_raw += info["raw_bytes"]
@@ -211,8 +217,10 @@ def _make_kernel(colspecs, chunk_rows, selection="exact"):
                             pa.array(d["vsum"], pa.decimal128(38, 0)),
                             pa.array(d["raw_bytes"], pa.int64()),
                             pa.array(d["enc_bytes"], pa.int64()),
+                            pa.array(d["zsmin"], pa.string()),
+                            pa.array(d["zsmax"], pa.string()),
                         ],
-                        names=["codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes"],
+                        names=["codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes", "zsmin", "zsmax"],
                     )
                 )
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
@@ -232,6 +240,8 @@ def _arrow_chunk_schema(colspecs):
             pa.field("vsum", pa.decimal128(38, 0)),
             pa.field("raw_bytes", pa.int64()),
             pa.field("enc_bytes", pa.int64()),
+            pa.field("zsmin", pa.string()),
+            pa.field("zsmax", pa.string()),
         ]
     )
     fields = [

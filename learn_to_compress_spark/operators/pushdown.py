@@ -107,6 +107,7 @@ def _gather_table(
     out_cols: list[str],
     pos_fn,
     prune=None,
+    zone_fields=("zmin", "zmax"),
 ) -> DataFrame:
     """Shared shape of every projection-under-selection operator:
 
@@ -128,8 +129,8 @@ def _gather_table(
         # zone-map leaves ride along (aliased) so the prune predicate binds
         # above the Project and still pushes to the Parquet scan
         zone_leaves = [
-            F.col(f"{col_field(key_col)}.zmin").alias("_zmin"),
-            F.col(f"{col_field(key_col)}.zmax").alias("_zmax"),
+            F.col(f"{col_field(key_col)}.{zone_fields[0]}").alias("_zmin"),
+            F.col(f"{col_field(key_col)}.{zone_fields[1]}").alias("_zmax"),
         ]
     chunks = read_chunks(spark, store, leaves=leaves + zone_leaves)
     if prune is not None:
@@ -221,6 +222,73 @@ def filter_eq_string_table(
         return column_positions_eq_string(bytes(payload), n, needle)
 
     return _gather_table(spark, store, column, out_cols, pos_fn)
+
+
+def filter_gt_string_table(
+    spark: SparkSession,
+    store: str,
+    column: str,
+    value: str,
+    out_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """SELECT out_cols WHERE string column > value (``>=`` with
+    ``strict=False``), from the chunk store — the string-domain counterpart
+    of :func:`filter_gt_table` (reference sorted-string binary search,
+    ``experiments/leco_string_subset.cpp:186-193`` +
+    ``binary_search.cpp:63-122``).
+
+    Same three-level pushdown: (1) nested leaf pruning, (2) STRING zone
+    maps — ``c_<col>.zsmax > value`` is a plain nested predicate pushed to
+    the Parquet scan (UTF8-binary order on both sides), (3) inside the
+    kernel, LeCo-string chunks invert the line model in the big-int domain
+    and dictionary chunks compare unique values only — row strings never
+    materialize on those codecs (``select.STR_FILTER_STATS`` counts the
+    fallbacks)."""
+    from ..select import column_positions_gt_string
+
+    needle = value.encode()
+    zmax = F.col("_zmax")
+    cmp = (zmax > F.lit(value)) if strict else (zmax >= F.lit(value))
+    prune = zmax.isNull() | cmp
+
+    def pos_fn(payload, n, logical):
+        return column_positions_gt_string(bytes(payload), n, needle, strict)
+
+    return _gather_table(
+        spark, store, column, out_cols, pos_fn, prune, zone_fields=("zsmin", "zsmax")
+    )
+
+
+def filter_prefix_string_table(
+    spark: SparkSession,
+    store: str,
+    column: str,
+    prefix: str,
+    out_cols: list[str],
+) -> DataFrame:
+    """SELECT out_cols WHERE string column LIKE 'prefix%' — the half-open
+    range ``[prefix, upper)``; zone maps prune chunks whose [zsmin, zsmax]
+    misses the range at the scan, and the kernel answers both bounds with
+    the model-inversion / code-domain range pushdown."""
+    from ..select import column_positions_prefix_string, prefix_upper_bound
+
+    p = prefix.encode()
+    hi = prefix_upper_bound(p)
+    zmin, zmax = F.col("_zmin"), F.col("_zmax")
+    prune = zmax.isNull() | (zmax >= F.lit(prefix))
+    if hi is not None:
+        try:  # the incremented byte may not be valid UTF-8 — skip that side
+            prune = prune & (zmin.isNull() | (zmin < F.lit(hi.decode("utf-8"))))
+        except UnicodeDecodeError:
+            pass
+
+    def pos_fn(payload, n, logical):
+        return column_positions_prefix_string(bytes(payload), n, p)
+
+    return _gather_table(
+        spark, store, column, out_cols, pos_fn, prune, zone_fields=("zsmin", "zsmax")
+    )
 
 
 def lookup_eq_table(

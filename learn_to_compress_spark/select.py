@@ -608,6 +608,71 @@ def column_positions_eq_string(payload: bytes, n: int, needle: bytes) -> np.ndar
     return dense
 
 
+# per-process observability for the string range pushdown (tests assert the
+# model-inversion / code-domain paths materialize ZERO row strings)
+STR_FILTER_STATS = {"rows_total": 0, "rows_decoded": 0}
+
+
+def column_positions_gt_string(
+    payload: bytes, n: int, needle: bytes, strict: bool = True
+) -> np.ndarray:
+    """Positions (full-column indices) where a framed string column is
+    ``> needle`` (``>=`` with ``strict=False``); nulls never match.
+    UTF8-binary order — the collation Spark and DuckDB compare with.
+
+    LeCo-string chunks invert the line model in the big-int domain
+    (``LecoStringCodec.positions_gt`` — the reference's sorted-string
+    binary search, ``experiments/leco_string_subset.cpp:186-193`` +
+    ``binary_search.cpp:63-122``); dictionary chunks compare only the
+    unique values then select codes; other codecs decode once and compare
+    with one Arrow C++ kernel (counted in ``STR_FILTER_STATS``)."""
+    import pyarrow.compute as pc
+
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    if n_valid == 0:
+        return np.empty(0, np.int64)
+    STR_FILTER_STATS["rows_total"] += n_valid
+    name = STRING_CODEC_NAMES[payload[off]]
+    codec = STRING_CODEC_CLASSES[name]()
+    body = payload[off + 1 :]
+    pg = getattr(codec, "positions_gt", None)
+    dense = pg(body, n_valid, needle, strict) if pg is not None else None
+    if dense is None:
+        STR_FILTER_STATS["rows_decoded"] += n_valid
+        arr = codec.decode(body, n_valid)
+        cmp = pc.greater if strict else pc.greater_equal
+        dense = np.flatnonzero(cmp(arr, needle).to_numpy(zero_copy_only=False))
+    if valid is not None:
+        return np.flatnonzero(valid)[dense]
+    return dense
+
+
+def prefix_upper_bound(prefix: bytes) -> bytes | None:
+    """Smallest byte string > every string starting with ``prefix``
+    (increment the last non-0xff byte, drop the tail); None when the prefix
+    is all 0xff — then there is no upper bound."""
+    b = bytearray(prefix)
+    while b and b[-1] == 0xFF:
+        b.pop()
+    if not b:
+        return None
+    b[-1] += 1
+    return bytes(b)
+
+
+def column_positions_prefix_string(payload: bytes, n: int, prefix: bytes) -> np.ndarray:
+    """Positions where the column starts with ``prefix`` — the half-open
+    range ``[prefix, prefix_upper_bound)`` answered by two range pushdowns
+    (each skipping decode on LeCo/dict chunks)."""
+    ge = column_positions_gt_string(payload, n, prefix, strict=False)
+    hi = prefix_upper_bound(prefix)
+    if hi is None:
+        return ge
+    ge_hi = column_positions_gt_string(payload, n, hi, strict=False)
+    return np.setdiff1d(ge, ge_hi, assume_unique=True)
+
+
 def decode_double_column_arrow(payload: bytes, n: int, logical: str = "double"):
     import pyarrow as pa
 

@@ -649,3 +649,96 @@ def test_leco_var_recenter_overflow_regression(codec_name):
         pos = np.arange(vals.size, dtype=np.int64)[::2]
         np.testing.assert_array_equal(codec.gather(payload, pos, vals.size), vals[pos])
         assert codec.sum(payload, vals.size) == int(vals.sum(dtype=object))
+
+
+def _gt_want(rows, needle, strict):
+    return np.array(
+        [i for i, r in enumerate(rows) if (r > needle if strict else r >= needle)],
+        dtype=np.int64,
+    )
+
+
+def test_string_positions_gt_codecs():
+    """Range filter on compressed string chunks (operator: sorted-string
+    binary search, leco_string_subset.cpp:186-193 + binary_search.cpp:63-122):
+    LeCo rungs invert the model in the big-int domain, dict compares unique
+    values only — exact vs decode-and-compare for in-domain, out-of-alphabet,
+    longer-than-padded, prefix-of-prefix and extreme needles."""
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings import (
+        DictStringCodec,
+        LecoStringCodec,
+    )
+    from learn_to_compress_spark.codecs.strings_wide import LecoStringWideCodec
+
+    rng = np.random.default_rng(11)
+    cases = []
+    rows = [b"id-%05d" % i for i in range(0, 3000, 3)]
+    cases.append(
+        (LecoStringCodec(), rows,
+         [b"id-00100", b"id-001", b"id-00100x", b"id-", b"id", b"zz", b"aa",
+          b"id-99999", rows[0], rows[-1], b"", b"id-0010\xff"])
+    )
+    wrows = sorted({b"key-%020x" % (int(rng.integers(0, 2**62)) * 200003) for _ in range(900)})
+    cases.append(
+        (LecoStringWideCodec(), wrows,
+         [wrows[400], wrows[0], wrows[-1], wrows[200][:-3], wrows[200] + b"z",
+          b"key-", b"kez", b"", b"key-000000000000000000zz", b"\xff"])
+    )
+    drows = [b"click", b"view", b"purchase", b"click", b"scroll"] * 40
+    cases.append((DictStringCodec(), drows, [b"click", b"a", b"z", b"pur", b"scrollx", b""]))
+    for codec, rows, needles in cases:
+        payload = codec.encode(pa.array(rows, type=pa.large_binary()))
+        for needle in needles:
+            for strict in (True, False):
+                got = np.sort(codec.positions_gt(payload, len(rows), needle, strict))
+                np.testing.assert_array_equal(
+                    got, _gt_want(rows, needle, strict), err_msg=f"{codec.name} {needle} {strict}"
+                )
+
+
+def test_string_filter_framing_gt_and_prefix():
+    """Framing-level range/prefix filter: nulls never match, LeCo/dict chunks
+    decode ZERO row strings (STR_FILTER_STATS), fallback codecs count."""
+    from learn_to_compress_spark.select import (
+        STR_FILTER_STATS,
+        column_positions_gt_string,
+        column_positions_prefix_string,
+        encode_string_column,
+    )
+
+    rows = ["id-%05d" % i for i in range(500)]
+    ser = pd.Series(rows[:250] + [None, None] + rows[250:], dtype="object")
+    name, payload = encode_string_column(ser)
+    assert name in ("leco_str", "leco_str_wide"), name
+    STR_FILTER_STATS.update(rows_total=0, rows_decoded=0)
+    pos = column_positions_gt_string(payload, len(ser), b"id-00250")
+    want = [i for i, r in enumerate(ser) if r is not None and r > "id-00250"]
+    np.testing.assert_array_equal(np.sort(pos), want)
+    assert STR_FILTER_STATS["rows_total"] == 500
+    assert STR_FILTER_STATS["rows_decoded"] == 0  # model inversion: no strings
+
+    pos = column_positions_prefix_string(payload, len(ser), b"id-001")
+    want = [i for i, r in enumerate(ser) if r is not None and r.startswith("id-001")]
+    np.testing.assert_array_equal(np.sort(pos), want)
+    assert STR_FILTER_STATS["rows_decoded"] == 0
+
+    # fallback codec (word-structured text -> word_dict/fsst): still exact,
+    # counted as decoded
+    txt = pd.Series([f"w{i % 7} common tail" for i in range(300)], dtype="object")
+    _, fp = encode_string_column(txt)
+    STR_FILTER_STATS.update(rows_total=0, rows_decoded=0)
+    pos = column_positions_gt_string(fp, len(txt), b"w3")
+    want = [i for i, r in enumerate(txt) if r > "w3"]
+    np.testing.assert_array_equal(np.sort(pos), want)
+    assert STR_FILTER_STATS["rows_total"] == 300
+
+
+def test_prefix_upper_bound():
+    from learn_to_compress_spark.select import prefix_upper_bound
+
+    assert prefix_upper_bound(b"abc") == b"abd"
+    assert prefix_upper_bound(b"ab\xff") == b"ac"
+    assert prefix_upper_bound(b"\xff\xff") is None
+    assert prefix_upper_bound(b"a\xff\xff") == b"b"

@@ -166,3 +166,53 @@ def test_double_framing_roundtrip_property(vals):
         np.array_equal(np.isnan(a), np.isnan(b))
         and np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
     )
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_string_positions_gt_property(data):
+    """Range pushdown on framed string columns equals decode-then-compare
+    for arbitrary blocks (any winning codec) and arbitrary needles —
+    including needles outside the block alphabet, longer than the pad
+    width, and on the 0xff boundary."""
+    import pandas as pd
+
+    from learn_to_compress_spark.select import (
+        column_positions_gt_string,
+        encode_string_column,
+    )
+
+    kind = data.draw(st.sampled_from(["ids", "cat", "text", "free"]))
+    n = data.draw(st.integers(1, 300))
+    if kind == "ids":
+        start = data.draw(st.integers(0, 10**12))
+        step = data.draw(st.integers(1, 999))
+        rows = ["k%015d" % (start + i * step) for i in range(n)]
+    elif kind == "cat":
+        vocab = ["alpha", "beta", "gamma", "delta", ""]
+        rows = [vocab[data.draw(st.integers(0, 4))] for _ in range(n)]
+    elif kind == "text":
+        rows = [" ".join(["tok%d" % data.draw(st.integers(0, 9)) for _ in range(3)]) for _ in range(n)]
+    else:
+        rows = data.draw(
+            st.lists(st.text(max_size=12), min_size=n, max_size=n)
+        )
+    ser = pd.Series(rows, dtype="object")
+    _, payload = encode_string_column(ser)
+    needle_s = data.draw(
+        st.one_of(
+            st.sampled_from(rows),
+            st.text(max_size=18),
+            st.just("\xff" * 3),
+            st.just(""),
+        )
+    )
+    needle = needle_s.encode("utf-8")
+    strict = data.draw(st.booleans())
+    got = np.sort(column_positions_gt_string(payload, n, needle, strict))
+    enc = [r.encode("utf-8") for r in rows]
+    want = np.array(
+        [i for i, r in enumerate(enc) if (r > needle if strict else r >= needle)],
+        dtype=np.int64,
+    )
+    np.testing.assert_array_equal(got, want)

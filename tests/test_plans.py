@@ -109,3 +109,23 @@ def test_compacted_store_decode_still_shuffle_free(spark, tmp_path):
     compact_store(spark, store, chunk_rows=4096)
     df = decode_table(spark, store)
     assert shuffle_exchanges(df) == 0, explain_text(df)
+
+
+def test_filter_gt_string_plan_pushes_string_zone_map(spark, tmp_path):
+    """String range predicate: the zsmax zone-map compare is a plain nested
+    Parquet predicate (pushed to the scan), the plan stays shuffle-free, and
+    the result matches decode-and-filter."""
+    from learn_to_compress_spark.operators import filter_gt_string_table
+
+    store = _store(spark, tmp_path, "plan_store_sg")
+    df = filter_gt_string_table(spark, store, "conv_id", "conv-0000000030", ["conv_id", "turn_idx"])
+    plan = explain_text(df)
+    assert shuffle_exchanges(df) == 0, plan
+    pushed = pushed_filters(df)
+    assert any("zsmax" in p for p in pushed), (pushed, plan)
+    got = {(r.conv_id, r.turn_idx) for r in df.collect()}
+    want = {
+        (r.conv_id, r.turn_idx)
+        for r in decode_table(spark, store).filter(F.col("conv_id") > "conv-0000000030").collect()
+    }
+    assert got == want
