@@ -121,6 +121,50 @@ class ForCodec(IntCodec):
                 return np.arange(n, dtype=np.int64)
         return np.flatnonzero(self.decode(payload, n) > self.dtype.type(v))
 
+    def filter_mod_band(self, payload: bytes, n: int, base: int, lo: int, hi: int):
+        """Period-intersection pruning on the exact (min, max) header for
+        ``lo < value % base < hi`` (``headers/FOR_integer_template.h:166-215``:
+        the reference walks the periods intersecting the block's value range
+        and skips the payload when no band window intersects it). Returns
+        ``(positions, n_decoded)`` with ``n_decoded == 0`` when the header
+        alone decides (band misses the whole range → empty; band covers the
+        whole range → all rows), or None when the block straddles band
+        boundaries — the caller's single full decode is then the exact cost
+        the reference pays too."""
+        max_bit, m, mx, off = self._header(payload)
+        if max_bit >= self.width - 1:
+            return None  # raw escape: no (min,max) header to prune on
+        if hi - lo <= 1:
+            return np.empty(0, dtype=np.int64), 0  # empty band
+        m_i, mx_i = int(m), int(mx)
+        if mx_i >= 2**63:
+            return None  # signed-view domain mismatch — decode exactly
+        if lo < 0 and hi > base - 1:
+            return np.arange(n, dtype=np.int64), 0  # band = every residue
+        p_lo, p_hi = m_i // base, mx_i // base
+        if p_hi - p_lo > 64:
+            # ≥63 FULL periods inside the range: each contains both in-band
+            # and out-of-band values, so nothing can be decided header-only
+            return None
+        any_hit = False
+        covered = True
+        for p in range(p_lo, p_hi + 1):
+            w_lo = max(m_i, p * base) - p * base  # window of [m,mx] in p
+            w_hi = min(mx_i, (p + 1) * base - 1) - p * base
+            if w_lo > w_hi:
+                continue
+            if w_hi > lo and w_lo < hi:
+                any_hit = True
+                if not (w_lo > lo and w_hi < hi):
+                    covered = False
+            else:
+                covered = False
+        if not any_hit:
+            return np.empty(0, dtype=np.int64), 0
+        if covered:
+            return np.arange(n, dtype=np.int64), 0
+        return None
+
 
 class DeltaCodec(IntCodec):
     """Delta_fix: first value + sign-magnitude bit-packed consecutive diffs.
@@ -305,17 +349,46 @@ class LecoFixCodec(IntCodec):
         return self._combine(pred, sign, mag)
 
     def sum(self, payload: bytes, n: int) -> int:
-        """SUM pushdown (``headers/piecewise_fix_op.h:167-284`` semantics,
-        O(n) unpack class). Computed as the exact sum of the DECODED stored
-        values so it always equals ``decode().sum()`` — summing signed
-        predictions directly is wrong for width-64 sign-flipped columns,
-        whose stored values sit near 2^63 and view-cast negative."""
-        vals = self.decode(payload, n)
-        if self.width == 64:
-            hi = int((vals >> _U64(32)).astype(np.int64).sum(dtype=np.int64))
-            lo = int((vals & _U64(0xFFFFFFFF)).astype(np.int64).sum(dtype=np.int64))
+        """Compressed-domain SUM (``headers/piecewise_fix_op.h:167-284``):
+        model sum + residual-stream sum, WITHOUT reconstructing the value
+        array — the reference's shape exactly (its ``base_summation`` is the
+        prediction series, its ``sum_all_deltas`` one pass over the packed
+        delta words; both are separate streams, values never materialize).
+
+        The prediction sum replays decode's own float evaluation (one
+        vectorized multiply-add — decode truncates ``fl(θ0+θ1·i)``, so any
+        closed form must reproduce that exact rounding; the reference's
+        Bresenham stepping over the fractional part assumes it and ships
+        with its self-check assert commented out). Residuals sum straight
+        from the sign-magnitude stream; for width-64 the per-slot mod-2^64
+        carries/borrows are counted so the result equals
+        ``decode().sum()`` as exact integers even when predictions wrap."""
+        max_bit, theta0, theta1, off = self._header(payload)
+        if max_bit == self.width:
+            vals = np.frombuffer(payload, dtype=self.dtype, count=n, offset=off)
+            return int(vals.sum(dtype=object))
+        pred = self._pred(theta0, theta1, np.arange(n))
+
+        def _split_sum_u64(u: np.ndarray) -> int:
+            hi = int((u >> _U64(32)).astype(np.int64).sum(dtype=np.int64))
+            lo = int((u & _U64(0xFFFFFFFF)).astype(np.int64).sum(dtype=np.int64))
             return (hi << 32) + lo
-        return int(vals.sum(dtype=np.int64))
+
+        if max_bit == 0:
+            if self.width == 64:
+                return _split_sum_u64(pred.view(_U64))
+            return int(pred.astype(self.dtype).sum(dtype=np.int64))
+        sign, mag = unpack_signmag(np.frombuffer(payload, np.uint8, offset=off), n, max_bit)
+        if self.width == 64:
+            pred_u = pred.view(_U64)
+            total = _split_sum_u64(pred_u)
+            total += _split_sum_u64(mag[sign]) - _split_sum_u64(mag[~sign])
+            carries = int((sign & (mag > ~pred_u)).sum())  # pred_u + mag ≥ 2^64
+            borrows = int((~sign & (mag > pred_u)).sum())  # pred_u - mag < 0
+            return total + ((borrows - carries) << 64)
+        # width 32: stored value = (pred ± mag) cast to uint32 (mod 2^32)
+        v32 = np.where(sign, pred + mag.astype(np.int64), pred - mag.astype(np.int64))
+        return int(v32.astype(self.dtype).sum(dtype=np.int64))
 
     def filter_gt(self, payload: bytes, n: int, v: int) -> np.ndarray:
         """Model-inversion pushdown (``piecewise_fix_integer_template.h:206-252``):
@@ -479,3 +552,20 @@ class RleCodec(IntCodec):
             return np.empty(0, dtype=np.int64)
         spans = [np.arange(s, e) for s, e in zip(starts[hit], ends[hit])]
         return np.concatenate(spans)
+
+    def filter_mod_band(self, payload: bytes, n: int, base: int, lo: int, hi: int):
+        """Run-domain band filter: test each RUN KEY once and expand the
+        matching runs' position spans — touches n_runs values instead of n
+        (the run-level analogue of ``FOR_integer_template.h:166-215``'s
+        period pruning; the reference's RLE answers predicates per run the
+        same way, ``headers/rle.h``)."""
+        keys, counts = self._pairs(payload)
+        counts = counts.astype(np.int64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        rem = as_signed64(keys) % np.int64(base)
+        hit = (rem > lo) & (rem < hi)
+        if not hit.any():
+            return np.empty(0, dtype=np.int64), int(keys.size)
+        spans = [np.arange(s, e) for s, e in zip(starts[hit], ends[hit])]
+        return np.concatenate(spans), int(keys.size)

@@ -218,11 +218,18 @@ def _batch_jaccard(ids_a, texts_a, ids_b, texts_b, k: int) -> np.ndarray:
 
     Candidate pairs share documents heavily (one doc appears in many
     pairs), so each DISTINCT document's shingle set is built exactly once —
-    batch-vectorized hashing + one per-doc sort — and each pair costs one
-    merge of two presorted arrays. A pair-level global sort (the obvious
-    fully-vectorized shape) re-materializes every document per pair and
-    runs O(Σ pair windows · log) — measured 20× slower on real candidate
-    sets."""
+    batch-vectorized hashing + one per-doc sort — and each pair's
+    intersection is ONE ``searchsorted`` membership count of the smaller
+    presorted set in the larger (no concatenate-and-sort per pair: ~2× less
+    work than round 2's ``intersect1d``).
+
+    Measured alternative (rejected): flattening every pair's rank lists
+    into global tagged streams and resolving all intersections with one
+    searchsorted pass eliminates the per-pair Python call but materializes
+    Σ|set| × ~8 intermediate 30M-element arrays — 17 s vs 1.5 s for 200k
+    pairs over 200 docs (2 GB of allocation churn loses to L1-resident
+    per-pair merges at every scale tried: 20k/100k/200k pairs, small and
+    large sets). The per-pair loop is the fast shape here, not a fallback."""
     ids_a = np.asarray(ids_a)
     ids_b = np.asarray(ids_b)
     uniq_ids, inv = np.unique(np.concatenate([ids_a, ids_b]), return_inverse=True)
@@ -239,9 +246,16 @@ def _batch_jaccard(ids_a, texts_a, ids_b, texts_b, k: int) -> np.ndarray:
     out = np.empty(n, np.float64)
     for j in range(n):
         A, B = sets[ia[j]], sets[ib[j]]
-        inter = np.intersect1d(A, B, assume_unique=True).size
+        if A.size > B.size:
+            A, B = B, A
+        if A.size == 0:
+            out[j] = 1.0 if B.size == 0 else 0.0
+            continue
+        idx = np.searchsorted(B, A)
+        idx[idx == B.size] = B.size - 1
+        inter = int((B[idx] == A).sum())
         union = A.size + B.size - inter
-        out[j] = inter / union if union else 1.0
+        out[j] = inter / union
     return out
 
 

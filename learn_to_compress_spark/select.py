@@ -444,11 +444,12 @@ def column_filter_mod_band(
     """Row positions where ``lo < value % base < hi`` (signed domain; µs for
     timestamps). Nulls never match.
 
-    Uses the codec's per-period model inversion when available
-    (``headers/piecewise_fix_integer_template.h:254-303``: advance the value
-    window by ``base`` per period and decode only slots whose prediction
-    window intersects a band) — sign-flipped columns fall back to one full
-    decode since the band shifts per period in the flipped domain."""
+    Uses the codec's per-period pushdown when available: LeCo inverts the
+    line model per period (``headers/piecewise_fix_integer_template.h:254-303``),
+    FOR decides header-only from its exact (min,max) when the band misses or
+    covers the whole range (``headers/FOR_integer_template.h:166-215``), RLE
+    tests run keys only. Sign-flipped columns fall back to one full decode
+    since the band shifts per period in the flipped domain."""
     flags, valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
     if n_valid == 0:
         return np.empty(0, dtype=np.int64)

@@ -742,3 +742,80 @@ def test_prefix_upper_bound():
     assert prefix_upper_bound(b"ab\xff") == b"ac"
     assert prefix_upper_bound(b"\xff\xff") is None
     assert prefix_upper_bound(b"a\xff\xff") == b"b"
+
+
+def test_for_rle_mod_band_pruning():
+    """Model-less mod-band pruning (FOR_integer_template.h:166-215): FOR
+    blocks decide header-only when the band misses or covers their exact
+    (min,max) range; RLE tests run keys only. The framing counter proves
+    <100% of slots decoded on prunable blocks."""
+    from learn_to_compress_spark.select import (
+        MOD_BAND_STATS,
+        column_filter_mod_band,
+        encode_int_values,
+    )
+
+    forc = int_codec("for", np.uint64)
+    # one period, range [1000, 1040], base 100: band (50, 90) misses -> empty
+    vals = np.arange(1000, 1041, dtype=np.uint64)
+    p = forc.encode(vals)
+    res = forc.filter_mod_band(p, vals.size, 100, 50, 90)
+    assert res is not None and res[0].size == 0 and res[1] == 0
+    # band (-1, 100) covers everything
+    res = forc.filter_mod_band(p, vals.size, 100, -1, 100)
+    np.testing.assert_array_equal(res[0], np.arange(vals.size))
+    assert res[1] == 0
+    # band (5, 30) straddles the range [0,40] -> decode (None = caller decodes)
+    assert forc.filter_mod_band(p, vals.size, 100, 5, 30) is None
+    # two periods, both windows inside their bands -> all
+    vals2 = np.arange(1095, 1106, dtype=np.uint64)  # [95..105]: windows [95,99],[0,5]
+    p2 = forc.encode(vals2)
+    res = forc.filter_mod_band(p2, vals2.size, 100, 90, 100)
+    assert res is None or res[0].size < vals2.size  # window2 misses (90,100)
+    res = forc.filter_mod_band(p2, vals2.size, 100, -1, 7)
+    assert res is None  # window1 [95,99] misses, window2 [0,5] inside -> mixed
+
+    rle = int_codec("rle", np.uint64)
+    rvals = np.repeat(np.array([3, 17, 23, 42], dtype=np.uint64), 50)
+    rp = rle.encode(rvals)
+    pos, n_dec = rle.filter_mod_band(rp, rvals.size, 10, 2, 8)
+    want = np.flatnonzero((rvals % 10 > 2) & (rvals % 10 < 8))
+    np.testing.assert_array_equal(np.sort(pos), want)
+    assert n_dec == 4  # run keys only
+
+    # framing level: FOR-coded column, header-only skip counts 0 decoded
+    MOD_BAND_STATS.update(slots_total=0, slots_decoded=0)
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    fvals = rng.integers(1000, 1041, size=300).astype(np.int64)  # unsorted: FOR wins
+    name, payload = encode_int_values(fvals, None, "int64")
+    assert name == "for", name
+    got = column_filter_mod_band(payload, fvals.size, "int64", 100, 50, 90)
+    assert got.size == 0
+    assert MOD_BAND_STATS["slots_total"] == fvals.size
+    assert MOD_BAND_STATS["slots_decoded"] == 0
+
+
+def test_leco_sum_never_reconstructs_values(monkeypatch):
+    """The compressed-domain SUM parity path (piecewise_fix_op.h:167-284)
+    must sum model + residual streams separately — decode() raising proves
+    the value array is never rebuilt, and the result still equals the exact
+    value sum (incl. width-64 blocks whose predictions wrap mod 2^64)."""
+    from learn_to_compress_spark.codecs.intcodecs import LecoFixCodec
+
+    rng = np.random.default_rng(9)
+    blocks = [
+        (np.arange(10_000, dtype=np.uint64) * 37 + 5),
+        (np.arange(4096, dtype=np.int64) * -13 + 99).view(np.uint64),  # wrapping preds
+        rng.integers(0, 2**40, 5000).astype(np.uint64),
+        np.array([2**63, 2**63 - 1, 2**63 + 5], dtype=np.uint64),
+    ]
+    codec = LecoFixCodec(np.uint64)
+    expected = [
+        (int(v.sum(dtype=object)), codec.encode(v), v.size) for v in blocks
+    ]
+    monkeypatch.setattr(
+        LecoFixCodec, "decode", lambda *a, **k: (_ for _ in ()).throw(AssertionError("decode called"))
+    )
+    for want, payload, n in expected:
+        assert codec.sum(payload, n) == want
