@@ -63,6 +63,16 @@ def probe_media(payload: bytes) -> dict | None:
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _probe_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        info = probe_avi(payload)
+        if info:
+            return {"format": "avi", "width": info["width"],
+                    "height": info["height"], "channels": None}
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        info = probe_mp4(payload)
+        if info:
+            return {"format": "mp4", "width": info["width"],
+                    "height": info["height"], "channels": None}
     return None
 
 
@@ -241,3 +251,149 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         frames = wf.readframes(wf.getnframes())
         arr = np.frombuffer(frames, np.int16).reshape(-1, wf.getnchannels())
         return arr, wf.getframerate()
+
+
+# ---------------------------------------------------------------------------
+# Video containers: MP4 (ISO/IEC 14496-12 box structure) and AVI (RIFF).
+# Public-spec header parsing only — no codec decode (no ffmpeg in scope);
+# gives REAL per-frame timestamps so frame sampling fans out over actual
+# media structure instead of synthesized metadata.
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in [start, end)."""
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, off)
+        btype = bytes(buf[off + 4 : off + 8])
+        body = off + 8
+        if size == 1:  # 64-bit largesize
+            if off + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", buf, off + 8)
+            body = off + 16
+        elif size == 0:  # box extends to end of file
+            size = end - off
+        if size < 8 or off + size > end:
+            return
+        yield btype, body, off + size
+        off += size
+
+
+def _find_box(buf: bytes, start: int, end: int, path: list[bytes]):
+    """Body range of the first box at the given nesting path, or None."""
+    for btype, b0, b1 in _iter_boxes(buf, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return b0, b1
+            return _find_box(buf, b0, b1, path[1:])
+    return None
+
+
+def probe_mp4(payload: bytes) -> dict | None:
+    """MP4/ISO-BMFF: movie duration + the video track's true per-frame
+    timestamps from the ``stts`` (decoding time-to-sample) table.
+
+    Returns ``{"format": "mp4", "duration_ms", "frame_times_ms",
+    "width", "height"}`` or None when the payload isn't ISO-BMFF. Spec:
+    ISO/IEC 14496-12 §8.2.2 (mvhd), §8.3.2 (tkhd), §8.4.2 (mdhd),
+    §8.6.1.2 (stts)."""
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        return None
+    moov = _find_box(payload, 0, n, [b"moov"])
+    if moov is None:
+        return None
+    m0, m1 = moov
+    out: dict = {"format": "mp4", "duration_ms": None, "frame_times_ms": None,
+                 "width": None, "height": None}
+    mvhd = _find_box(payload, m0, m1, [b"mvhd"])
+    if mvhd is not None:
+        v = payload[mvhd[0]]
+        if v == 1:
+            ts, dur = struct.unpack_from(">IQ", payload, mvhd[0] + 20)
+        else:
+            ts, dur = struct.unpack_from(">II", payload, mvhd[0] + 12)
+        if ts:
+            out["duration_ms"] = int(dur * 1000 // ts)
+    for btype, t0, t1 in _iter_boxes(payload, m0, m1):
+        if btype != b"trak":
+            continue
+        tkhd = _find_box(payload, t0, t1, [b"tkhd"])
+        if tkhd is not None:
+            v = payload[tkhd[0]]
+            wh_off = tkhd[0] + (96 if v == 1 else 84) - 8
+            if wh_off + 8 <= tkhd[1]:
+                w, h = struct.unpack_from(">II", payload, wh_off)
+                if w and h:  # 16.16 fixed point; audio tracks carry 0x0
+                    out["width"], out["height"] = w >> 16, h >> 16
+        mdia = _find_box(payload, t0, t1, [b"mdia"])
+        if mdia is None:
+            continue
+        mdhd = _find_box(payload, mdia[0], mdia[1], [b"mdhd"])
+        stts = _find_box(payload, mdia[0], mdia[1], [b"minf", b"stbl", b"stts"])
+        if mdhd is None or stts is None:
+            continue
+        v = payload[mdhd[0]]
+        if v == 1:
+            (mts,) = struct.unpack_from(">I", payload, mdhd[0] + 20)
+        else:
+            (mts,) = struct.unpack_from(">I", payload, mdhd[0] + 12)
+        (n_entries,) = struct.unpack_from(">I", payload, stts[0] + 4)
+        ent = np.frombuffer(
+            payload, ">u4", count=2 * n_entries, offset=stts[0] + 8
+        ).reshape(n_entries, 2).astype(np.int64)
+        deltas = np.repeat(ent[:, 1], ent[:, 0])
+        if deltas.size and mts:
+            starts = np.concatenate(([0], np.cumsum(deltas[:-1])))
+            out["frame_times_ms"] = (starts * 1000 // mts).astype(np.int64)
+            if out["duration_ms"] is None:
+                out["duration_ms"] = int(deltas.sum() * 1000 // mts)
+            break  # first track with a time-to-sample table wins
+    return out
+
+
+def probe_avi(payload: bytes) -> dict | None:
+    """AVI (RIFF): fixed frame rate + count from the ``avih`` main header
+    (dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight — public
+    AVIMAINHEADER layout). Frame k's timestamp = k · µs_per_frame."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    # avih is the first chunk inside LIST/hdrl; scan RIFF chunks for it
+    off, end = 12, len(payload)
+    while off + 8 <= end:
+        ctype = bytes(payload[off : off + 4])
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = off + 8
+        if ctype == b"LIST" and payload[body : body + 4] == b"hdrl":
+            off = body + 4
+            continue
+        if ctype == b"avih" and size >= 40:
+            us_per_frame, _rate, _pad, _flags = struct.unpack_from("<IIII", payload, body)
+            total, _init, _streams, _bufsz, w, h = struct.unpack_from(
+                "<IIIIII", payload, body + 16
+            )
+            times = (
+                (np.arange(total, dtype=np.int64) * us_per_frame) // 1000
+                if us_per_frame
+                else np.zeros(total, dtype=np.int64)
+            )
+            return {
+                "format": "avi",
+                "duration_ms": int(total * us_per_frame // 1000),
+                "frame_times_ms": times,
+                "width": int(w),
+                "height": int(h),
+            }
+        off = body + size + (size & 1)
+    return None
+
+
+def video_frame_times(payload: bytes):
+    """Per-frame timestamps (ms, int64 array) from a video container, or
+    None when the payload is not a parseable MP4/AVI."""
+    info = probe_mp4(payload) or probe_avi(payload)
+    if info is None or info.get("frame_times_ms") is None:
+        return None
+    return info["frame_times_ms"]

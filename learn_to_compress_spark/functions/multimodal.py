@@ -197,10 +197,19 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
 resize_stub = resize_media
 
 
-def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    (media_id, frame_idx, ts_ms). Decode of video containers is stubbed —
-    the fan-out (rows, partitioning, batch shape) is the real part."""
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (media_id, frame_idx, ts_ms).
+
+    MP4/AVI payloads parse their REAL container structure (ISO-BMFF
+    ``stts`` time-to-sample table / AVI main header — ``media_codecs.
+    probe_mp4``/``probe_avi``, public specs): ``frame_idx`` is the true
+    frame ordinal and ``ts_ms`` its true timestamp, sampled as the first
+    frame of each ``every_ms`` bucket. Opaque payloads keep the declared
+    metadata fan-out (``duration_ms`` grid) — frame PIXEL decode stays
+    behind the pluggable decoder seam (no codec libs in scope)."""
+    from .media_codecs import video_frame_times
+
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -212,7 +221,17 @@ def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     def kernel(batches):
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "ts_ms": []}
-            for mid, dur in zip(pdf["media_id"], pdf["duration_ms"]):
+            for mid, dur, p in zip(pdf["media_id"], pdf["duration_ms"], pdf["payload"]):
+                times = video_frame_times(bytes(p)) if p is not None else None
+                if times is not None and times.size:
+                    # first true frame of each every_ms bucket
+                    buckets = times // every_ms
+                    keep = np.concatenate(([True], buckets[1:] != buckets[:-1]))
+                    for k in np.flatnonzero(keep):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(int(k))
+                        rows["ts_ms"].append(int(times[k]))
+                    continue
                 dur = 0 if pd.isna(dur) else int(dur)  # nulls arrive as NaN
                 n = max(dur // every_ms, 1)
                 for k in range(n):
@@ -221,7 +240,11 @@ def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     rows["ts_ms"].append(k * every_ms)
             yield pd.DataFrame(rows)
 
-    return df.select("media_id", "duration_ms").mapInPandas(kernel, schema)
+    return df.select("media_id", "duration_ms", "payload").mapInPandas(kernel, schema)
+
+
+# kept under the historical name for the plumbing tests
+frame_sample_stub = frame_sample
 
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:

@@ -136,10 +136,17 @@ def compact_store(
         )
     )
     keep = read_lineage(spark, store).filter(~F.col("part_id").isin(victims))
-    cur = lineage_current_dir(store)
+    # next version = max(existing lineage_v entries) + 1, NOT pointer + 1:
+    # a compaction that crashed after writing lineage_v/<N> but before the
+    # pointer swap leaves an orphan <N>; deriving from the pointer would
+    # recompute the same N and errorifexists would abort every subsequent
+    # compaction until a manual vacuum (ADVICE r2)
+    vdir = os.path.join(store, "lineage_v")
     ver = 0
-    if os.path.basename(os.path.dirname(cur)) == "lineage_v":
-        ver = int(os.path.basename(cur)) + 1
+    if os.path.isdir(vdir):
+        existing = [int(d) for d in os.listdir(vdir) if d.isdigit()]
+        if existing:
+            ver = max(existing) + 1
     next_dir = os.path.join(store, "lineage_v", f"{ver:010d}")
     keep.unionByName(new_rows).coalesce(1).write.mode("errorifexists").parquet(next_dir)
 

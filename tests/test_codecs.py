@@ -22,15 +22,17 @@ from learn_to_compress_spark.select import (
 
 class _FreshRNG:
     """Order-independent determinism: every draw comes from a fresh
-    fixed-seed stream keyed only by the method name, so adding/removing
-    earlier tests (or registry codecs) can never shift the data a later
-    test sees."""
+    fixed-seed stream keyed by the FULL method-name bytes (seeding by
+    char-sum collided anagram/equal-sum names onto one stream and made
+    consecutive same-method calls identical — ADVICE r2), so
+    adding/removing earlier tests can never shift later fixtures while
+    distinct methods still get distinct data."""
 
     def __init__(self, seed=42):
         self._seed = seed
 
     def __getattr__(self, name):
-        return getattr(np.random.default_rng((self._seed, sum(name.encode()))), name)
+        return getattr(np.random.default_rng([self._seed, *name.encode()]), name)
 
 
 RNG = _FreshRNG(42)

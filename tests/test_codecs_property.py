@@ -216,3 +216,95 @@ def test_string_positions_gt_property(data):
         dtype=np.int64,
     )
     np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_filter_mod_band_property(data):
+    """filter_mod_band == decode-then-% for every codec exposing it (LeCo
+    per-period inversion, FOR period-intersection, RLE run-domain), over
+    sign-boundary-straddling and narrow-range blocks (the r2 DP bug proved
+    the top-bit generator earns its keep)."""
+    codec_name = data.draw(st.sampled_from(["leco", "for", "rle"]))
+    shape = data.draw(st.sampled_from(["narrow", "affine", "runs", "topbit"]))
+    n = data.draw(st.integers(1, 400))
+    if shape == "narrow":
+        lo0 = data.draw(st.integers(0, 2**40))
+        span = data.draw(st.integers(1, 3000))
+        vals = (lo0 + data.draw(st.lists(st.integers(0, span), min_size=n, max_size=n))
+                * np.ones(1, np.int64)).astype(np.uint64)
+    elif shape == "affine":
+        start = data.draw(st.integers(0, 2**40))
+        slope = data.draw(st.integers(-500, 500))
+        vals = (start + slope * np.arange(n)).astype(np.int64).view(np.uint64)
+    elif shape == "runs":
+        keys = data.draw(st.lists(st.integers(0, 2**30), min_size=1, max_size=8))
+        vals = np.repeat(np.array(keys, np.uint64), max(n // len(keys), 1))[:n]
+        if vals.size == 0:
+            vals = np.array(keys[:1], np.uint64)
+    else:
+        vals = (2**63 - 256 + np.asarray(
+            data.draw(st.lists(st.integers(0, 512), min_size=n, max_size=n)),
+            dtype=np.uint64,
+        ))
+    n = vals.size
+    codec = int_codec(codec_name, np.uint64)
+    payload = codec.encode(vals)
+    base = data.draw(st.integers(2, 1000))
+    lo = data.draw(st.integers(-2, base))
+    hi = data.draw(st.integers(lo, base + 2))
+    res = codec.filter_mod_band(payload, n, base, lo, hi)
+    signed = vals.view(np.int64)
+    want = np.flatnonzero(((signed % base) > lo) & ((signed % base) < hi))
+    if res is not None:
+        pos, n_dec = res
+        np.testing.assert_array_equal(np.sort(pos), want)
+        assert 0 <= n_dec <= n if codec_name != "rle" else n_dec >= 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_leco_string_rung_roundtrip_property(data):
+    """Both LeCo-string rungs: roundtrip + gather on generated ID-like
+    blocks (varying pad widths, alphabets, shared prefixes, duplicate and
+    single-row blocks) — whichever rung the block lands on."""
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings import LecoStringCodec
+    from learn_to_compress_spark.codecs.strings_wide import LecoStringWideCodec
+
+    n = data.draw(st.integers(1, 250))
+    prefix = data.draw(st.sampled_from(["", "id-", "Customer#", "k"]))
+    width = data.draw(st.integers(1, 24))
+    base = data.draw(st.sampled_from([10, 16, 36]))
+    start = data.draw(st.integers(0, base**min(width, 12) - 1))
+    step = data.draw(st.integers(0, 9999))
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+    def enc(v):
+        out = []
+        for _ in range(width):
+            out.append(digits[v % base])
+            v //= base
+        return "".join(reversed(out))
+
+    rows = [(prefix + enc(start + i * step)).encode() for i in range(n)]
+    arr = pa.array(rows, type=pa.large_binary())
+    codec = None
+    if LecoStringCodec.eligible(arr):
+        codec = LecoStringCodec()
+    elif LecoStringWideCodec.eligible(arr):
+        codec = LecoStringWideCodec()
+    if codec is None:
+        return  # block outside both rungs (framing would pick FSST/dict)
+    payload = codec.encode(arr)
+    out = [bytes(x) for x in codec.decode(payload, n).to_pylist()]
+    assert out == rows
+    pos = data.draw(
+        st.lists(st.integers(0, n - 1), min_size=1, max_size=30).map(
+            lambda p: np.array(p, dtype=np.int64)
+        )
+    )
+    if hasattr(codec, "gather"):
+        g = [bytes(x) for x in codec.gather(payload, pos, n).to_pylist()]
+        assert g == [rows[i] for i in pos]

