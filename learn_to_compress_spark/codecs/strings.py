@@ -143,17 +143,24 @@ class FsstStringCodec:
     def gather(self, payload: bytes, positions: np.ndarray, n: int) -> pa.Array:
         """Per-string random access: decode only the selected rows'
         compressed spans (compressed-domain offsets, the reference's
-        ``randomdecodeArray8`` shape for strings)."""
+        ``randomdecodeArray8`` shape for strings). The selected spans are
+        concatenated and decoded in ONE vectorized pass — the code stream
+        is stateless (escape pairs are local), so decoding the
+        concatenation equals concatenating per-row decodes, and the output
+        splits exactly at the known uncompressed row lengths."""
         if n == 0 or len(positions) == 0:
             return pa.array([], type=pa.large_binary())
+        positions = np.asarray(positions, dtype=np.int64)
         ends, symbols, comp_ends, off = self._parts(payload, n)
         comp_starts = np.concatenate(([0], comp_ends[:-1]))
-        pieces = []
-        for pos in np.asarray(positions, dtype=np.int64):
-            span = payload[off + comp_starts[pos] : off + comp_ends[pos]]
-            pieces.append(fsst_mod.decompress(bytes(span), symbols))
-        out_ends = np.cumsum([len(b) for b in pieces]).astype(np.int64)
-        return _from_blob(b"".join(pieces), out_ends)
+        starts = np.concatenate(([0], ends[:-1]))
+        spans = [
+            payload[off + comp_starts[p] : off + comp_ends[p]] for p in positions
+        ]
+        blob = fsst_mod.decompress(b"".join(spans), symbols)
+        out_ends = np.cumsum(ends[positions] - starts[positions]).astype(np.int64)
+        assert len(blob) == (int(out_ends[-1]) if out_ends.size else 0)
+        return _from_blob(blob, out_ends)
 
 
 class DictStringCodec:
