@@ -414,9 +414,22 @@ def column_filter_gt(payload: bytes, n: int, logical: str, v: int) -> np.ndarray
     if n_valid == 0:
         return np.empty(0, dtype=np.int64)
     width = udtype.itemsize * 8
-    if flags & _FLAG_SIGNFLIP:
-        v = (int(v) + (1 << (width - 1))) % (1 << width)
-    pos = codec.filter_gt(sub, n_valid, int(v))
+    # clamp thresholds outside the stored domain BEFORE handing v to the
+    # codec: codecs compare in their unsigned dtype, where a negative v
+    # would wrap to a huge value (property-fuzz counterexample: block [0],
+    # v=-1 returned empty instead of all)
+    if v >= (1 << (width - 1)) - 1:  # at/above signed max → nothing exceeds
+        pos = np.empty(0, dtype=np.int64)
+    elif flags & _FLAG_SIGNFLIP:
+        if v < -(1 << (width - 1)):  # below the signed domain → every row
+            pos = np.arange(n_valid, dtype=np.int64)
+        else:
+            v = (int(v) + (1 << (width - 1))) % (1 << width)
+            pos = codec.filter_gt(sub, n_valid, int(v))
+    elif v < 0:  # no sign flip ⇒ stored values are all ≥ 0
+        pos = np.arange(n_valid, dtype=np.int64)
+    else:
+        pos = codec.filter_gt(sub, n_valid, int(v))
     if valid is not None:
         pos = np.flatnonzero(valid)[pos]
     return pos

@@ -821,3 +821,24 @@ def test_leco_sum_never_reconstructs_values(monkeypatch):
     )
     for want, payload, n in expected:
         assert codec.sum(payload, n) == want
+
+
+def test_framing_filter_gt_out_of_domain_thresholds():
+    """Thresholds outside the column's signed domain must clamp BEFORE the
+    unsigned codec compare (fuzz counterexample: block [0] with v=-1 wrapped
+    to 2^64-1 and returned empty instead of all)."""
+    from learn_to_compress_spark.select import column_filter_gt, encode_int_values
+
+    for vals, logical, width in [
+        (np.array([0], dtype=np.int64), "int64", 64),
+        (np.array([5, -3, 7], dtype=np.int64), "int64", 64),  # signflip path
+        (np.array([0, 1, 2], dtype=np.int32), "int32", 32),
+    ]:
+        _, payload = encode_int_values(vals, None, logical)
+        n = vals.size
+        for v in [-1, -(1 << (width - 1)), -(1 << (width - 1)) - 5,
+                  (1 << (width - 1)) - 1, 1 << (width - 1), 0]:
+            got = np.sort(column_filter_gt(payload, n, logical, v))
+            np.testing.assert_array_equal(
+                got, np.flatnonzero(vals.astype(object) > v), err_msg=f"{vals} v={v}"
+            )

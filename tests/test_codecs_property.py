@@ -308,3 +308,33 @@ def test_leco_string_rung_roundtrip_property(data):
     if hasattr(codec, "gather"):
         g = [bytes(x) for x in codec.gather(payload, pos, n).to_pylist()]
         assert g == [rows[i] for i in pos]
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_int_framing_filter_gt_and_mod_band_property(data):
+    """Framing-level pushdowns (sign-flip mapping + codec dispatch) equal
+    decode-then-compare over adversarial blocks and thresholds — the
+    signflip boundary (±2^63) is where two prior bugs lived."""
+    from learn_to_compress_spark.select import (
+        column_filter_gt,
+        column_filter_mod_band,
+        encode_int_values,
+    )
+
+    vals = data.draw(int64_arrays)
+    _, payload = encode_int_values(vals, None, "int64")
+    v = data.draw(
+        st.one_of(
+            st.integers(-(2**63), 2**63 - 1),
+            st.sampled_from([int(vals.min()), int(vals.max()), 0, -1]),
+        )
+    )
+    got = np.sort(column_filter_gt(payload, vals.size, "int64", v))
+    np.testing.assert_array_equal(got, np.flatnonzero(vals > v))
+    base = data.draw(st.integers(2, 500))
+    lo = data.draw(st.integers(-2, base))
+    hi = data.draw(st.integers(lo, base + 2))
+    got = np.sort(column_filter_mod_band(payload, vals.size, "int64", base, lo, hi))
+    rem = vals % base  # numpy floor semantics == the oracle's
+    np.testing.assert_array_equal(got, np.flatnonzero((rem > lo) & (rem < hi)))
