@@ -226,6 +226,18 @@ class DictStringCodec:
         codes, _ = _decode_ints_best(payload, codes_off, n)
         return np.flatnonzero(codes == np.uint64(int(hits[0])))
 
+    def gather(self, payload: bytes, positions: np.ndarray, n: int) -> pa.Array:
+        """Sparse random access in the CODE domain: decode the (tiny)
+        dictionary + the int-coded code column, then ``take`` only the
+        selected rows' uniques — the n-row string column never
+        materializes."""
+        if n == 0 or len(positions) == 0:
+            return pa.array([], type=pa.large_binary())
+        uniq, codes_off = self._uniq_and_codes_off(payload, n)
+        codes, _ = _decode_ints_best(payload, codes_off, n)
+        sel = codes.view(np.int64)[np.asarray(positions, dtype=np.int64)]
+        return pc.take(uniq, pa.array(sel))
+
     def positions_gt(
         self, payload: bytes, n: int, needle: bytes, strict: bool = True
     ) -> np.ndarray:
@@ -281,9 +293,7 @@ class WordDictCodec:
             ]
         )
 
-    def decode(self, payload: bytes, n: int) -> pa.Array:
-        if n == 0:
-            return pa.array([], type=pa.large_binary())
+    def _parts(self, payload: bytes, n: int):
         (n_uniq,) = struct.unpack_from("<I", payload, 0)
         ends_u, off = _decode_ints_best(payload, 4, n_uniq)
         ends = ends_u.astype(np.int64)
@@ -292,11 +302,36 @@ class WordDictCodec:
         counts, off2 = _decode_ints_best(payload, off + blob_len, n)
         counts = counts.astype(np.int64)
         codes, _ = _decode_ints_best(payload, off2, int(counts.sum()))
+        return uniq, counts, codes
+
+    @staticmethod
+    def _join_rows(uniq: pa.Array, codes: np.ndarray, counts: np.ndarray) -> pa.Array:
         toks = pc.take(uniq.cast(pa.large_string()), pa.array(codes.view(np.int64)))
         offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
         lst = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), toks)
         joined = pc.binary_join(lst, pa.scalar(" ", pa.large_string()))
         return joined.cast(pa.large_binary())
+
+    def decode(self, payload: bytes, n: int) -> pa.Array:
+        if n == 0:
+            return pa.array([], type=pa.large_binary())
+        uniq, counts, codes = self._parts(payload, n)
+        return self._join_rows(uniq, codes, counts)
+
+    def gather(self, payload: bytes, positions: np.ndarray, n: int) -> pa.Array:
+        """Sparse random access: gather only the selected rows' token-code
+        windows (ragged gather over the counts layout), take + join those —
+        the n-row string column never materializes."""
+        if n == 0 or len(positions) == 0:
+            return pa.array([], type=pa.large_binary())
+        positions = np.asarray(positions, dtype=np.int64)
+        uniq, counts, codes = self._parts(payload, n)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        ln = counts[positions]
+        total = int(ln.sum())
+        block_off = np.repeat(np.cumsum(ln) - ln, ln)
+        tok_idx = np.repeat(offs[positions], ln) + np.arange(total, dtype=np.int64) - block_off
+        return self._join_rows(uniq, codes[tok_idx], ln)
 
 
 STRING_CODEC_CLASSES = {
@@ -543,29 +578,26 @@ class LecoStringCodec:
         pos = int_codec(inner, np.uint64).filter_gt(vpay, n, T)
         return np.sort(np.asarray(pos, dtype=np.int64))
 
-    def decode(self, payload: bytes, n: int) -> pa.Array:
-        from . import CODEC_NAMES, int_codec
+    def _inner_parts(self, payload: bytes, n: int):
+        """(prefix bytes, padded, alpha|None, lens int64[n], inner codec
+        name, inner payload) — shared by decode and gather."""
+        from . import CODEC_NAMES
 
-        if n == 0:
-            return pa.array([], type=pa.large_binary())
-        p = payload[0]
-        prefix = np.frombuffer(payload, np.uint8, count=p, offset=1)
-        padded = payload[1 + p]
-        (alpha_len,) = struct.unpack_from("<H", payload, 2 + p)
-        off = 4 + p
-        alpha = None
-        if alpha_len:
-            alpha = np.frombuffer(payload, np.uint8, count=alpha_len, offset=off)
-            off += alpha_len
+        prefix, padded, alpha, off = self._header(payload)
         lens_u, off = _decode_ints_best(payload, off, n)
-        lens = lens_u.astype(np.int64)
         inner = CODEC_NAMES[payload[off]]
         (ln,) = struct.unpack_from("<Q", payload, off + 1)
-        vals = int_codec(inner, np.uint64).decode(payload[off + 9 : off + 9 + ln], n).copy()
-        K = np.uint64(257 if alpha is None else alpha_len + 1)
-        # peel base-K digits right-to-left
+        return prefix, padded, alpha, lens_u.astype(np.int64), inner, payload[off + 9 : off + 9 + ln]
+
+    @staticmethod
+    def _materialize(prefix: bytes, padded: int, alpha, lens: np.ndarray, vals: np.ndarray) -> pa.Array:
+        """Strings from big-int values + original lengths (digit peel +
+        one byte scatter); `vals` is consumed."""
+        n = vals.size
+        p = len(prefix)
+        K = np.uint64(257 if alpha is None else len(alpha) + 1)
         ranks = np.empty((n, padded), dtype=np.uint64)
-        for j in range(padded - 1, -1, -1):
+        for j in range(padded - 1, -1, -1):  # peel base-K digits
             ranks[:, j] = vals % K
             vals //= K
         if alpha is None:
@@ -581,10 +613,33 @@ class LecoStringCodec:
         starts = ends - lens
         if p:
             pidx = starts[:, None] + np.arange(p, dtype=np.int64)[None, :]
-            out[pidx.ravel()] = np.tile(prefix, n)
+            out[pidx.ravel()] = np.tile(np.frombuffer(prefix, np.uint8), n)
         sidx = (starts + p)[:, None] + col[None, :]
         out[sidx[mask]] = mat[mask]
         return _from_blob(out.tobytes(), ends)
+
+    def decode(self, payload: bytes, n: int) -> pa.Array:
+        from . import int_codec
+
+        if n == 0:
+            return pa.array([], type=pa.large_binary())
+        prefix, padded, alpha, lens, inner, vpay = self._inner_parts(payload, n)
+        vals = int_codec(inner, np.uint64).decode(vpay, n).copy()
+        return self._materialize(prefix, padded, alpha, lens, vals)
+
+    def gather(self, payload: bytes, positions: np.ndarray, n: int) -> pa.Array:
+        """Sparse random access: the INNER int codec's gather (model +
+        residual RA — ``randomdecodeArray8`` composed through the string
+        mapping) reads only the selected slots' values, and the digit peel /
+        byte scatter run over len(positions) rows, not n."""
+        from . import int_codec
+
+        if n == 0 or len(positions) == 0:
+            return pa.array([], type=pa.large_binary())
+        positions = np.asarray(positions, dtype=np.int64)
+        prefix, padded, alpha, lens, inner, vpay = self._inner_parts(payload, n)
+        vals = int_codec(inner, np.uint64).gather(vpay, positions, n).copy()
+        return self._materialize(prefix, padded, alpha, lens[positions], vals)
 
 
 STRING_CODEC_CLASSES[LecoStringCodec.name] = LecoStringCodec

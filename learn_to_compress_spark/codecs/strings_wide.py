@@ -214,17 +214,15 @@ class LecoStringWideCodec:
             T -= 1
         return np.flatnonzero(vals > T)
 
-    def decode(self, payload: bytes, n: int) -> pa.Array:
+    @staticmethod
+    def _materialize(prefix_b: bytes, padded: int, alpha, lens, vals) -> pa.Array:
         from .strings import _from_blob
 
-        if n == 0:
-            return pa.array([], type=pa.large_binary())
-        p = payload[0]
-        prefix_b, padded, alpha, lens, vals = self._values(payload, n)
+        n = len(vals)
+        p = len(prefix_b)
         prefix = np.frombuffer(prefix_b, np.uint8)
-        alpha_len = len(alpha)
         # peel base-K digits
-        K = int(alpha_len + 1)
+        K = int(len(alpha) + 1)
         ranks = np.empty((n, padded), dtype=np.int64)
         v = vals
         for j in range(padded - 1, -1, -1):
@@ -244,6 +242,22 @@ class LecoStringWideCodec:
         sidx = (starts + p)[:, None] + col[None, :]
         out[sidx[mask]] = mat[mask]
         return _from_blob(out.tobytes(), ends)
+
+    def decode(self, payload: bytes, n: int) -> pa.Array:
+        if n == 0:
+            return pa.array([], type=pa.large_binary())
+        prefix_b, padded, alpha, lens, vals = self._values(payload, n)
+        return self._materialize(prefix_b, padded, alpha, lens, vals)
+
+    def gather(self, payload: bytes, positions: np.ndarray, n: int) -> pa.Array:
+        """Sparse random access: value reconstruction is O(n) limb ops, but
+        the expensive part — the per-digit big-int peel over up to 255
+        columns — runs only over the selected rows."""
+        if n == 0 or len(positions) == 0:
+            return pa.array([], type=pa.large_binary())
+        positions = np.asarray(positions, dtype=np.int64)
+        prefix_b, padded, alpha, lens, vals = self._values(payload, n)
+        return self._materialize(prefix_b, padded, alpha, lens[positions], vals[positions])
 
 
 STRING_CODEC_CLASSES[LecoStringWideCodec.name] = LecoStringWideCodec

@@ -842,3 +842,43 @@ def test_framing_filter_gt_out_of_domain_thresholds():
             np.testing.assert_array_equal(
                 got, np.flatnonzero(vals.astype(object) > v), err_msg=f"{vals} v={v}"
             )
+
+
+def test_dict_and_worddict_sparse_gather():
+    """Code-domain sparse gather (no n-row string materialization): equals
+    decode-then-index for dict and word-dict chunks, incl repeated and
+    unsorted positions and empty rows."""
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings import DictStringCodec, WordDictCodec
+
+    rows = [b"click", b"view", b"", b"purchase", b"click"] * 60
+    wrows = [b"alpha beta", b"", b"gamma", b"alpha beta gamma delta", b"beta"] * 60
+    for cls, data in [(DictStringCodec, rows), (WordDictCodec, wrows)]:
+        codec = cls()
+        payload = codec.encode(pa.array(data, type=pa.large_binary()))
+        dec = [bytes(x) for x in codec.decode(payload, len(data)).to_pylist()]
+        assert dec == data
+        for pos in [np.array([0]), np.array([7, 3, 3, 299, 0]), np.arange(0, 300, 17)]:
+            got = [bytes(x) for x in codec.gather(payload, pos, len(data)).to_pylist()]
+            assert got == [data[i] for i in pos], cls.__name__
+
+
+def test_leco_string_sparse_gather():
+    """LeCo-string rungs: gather == decode-then-index, via the inner int
+    codec's random access + selected-rows-only digit peel."""
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings import LecoStringCodec
+    from learn_to_compress_spark.codecs.strings_wide import LecoStringWideCodec
+
+    rng = np.random.default_rng(21)
+    rows = [b"id-%05d" % i for i in range(0, 2400, 3)]
+    wrows = sorted({b"key-%020x" % (int(rng.integers(0, 2**62)) * 200003) for _ in range(700)})
+    for codec, data in [(LecoStringCodec(), rows), (LecoStringWideCodec(), wrows)]:
+        if not hasattr(codec, "gather"):
+            continue
+        payload = codec.encode(pa.array(data, type=pa.large_binary()))
+        for pos in [np.array([0]), np.array([7, 3, 3, len(data) - 1, 0]), np.arange(0, len(data), 13)]:
+            got = [bytes(x) for x in codec.gather(payload, pos, len(data)).to_pylist()]
+            assert got == [data[i] for i in pos], type(codec).__name__
