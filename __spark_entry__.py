@@ -222,6 +222,21 @@ def _filter_str_prefix_query():
     return fn
 
 
+def _filter_str_gt_dict_query():
+    """String range on a dictionary-coded categorical column: the compare
+    touches only the per-chunk unique values (code-domain LUT)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_gt_string_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return filter_gt_string_table(
+            spark, store, "event_type", "purchase", ["event_id", "event_type"]
+        )
+
+    return fn
+
+
 def _mod_band_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.operators import filter_mod_band_table
@@ -352,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r3 — VERDICT item 4) + prefix range as two range bounds
         "filter_customer_name_gt": _filter_str_gt_query(),
         "filter_customer_name_prefix": _filter_str_prefix_query(),
+        "filter_events_eventtype_gt": _filter_str_gt_dict_query(),
         # modular band filter (op #29)
         "filter_events_userid_mod_band": _mod_band_query(),
         # selective decode under a bitmap, density-adaptive (op #31)
@@ -416,6 +432,9 @@ def oracle_sql() -> dict[str, str]:
         "filter_customer_name_prefix": (
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_name LIKE 'Customer#00000012%'"
+        ),
+        "filter_events_eventtype_gt": (
+            "SELECT event_id, event_type FROM events WHERE event_type > 'purchase'"
         ),
         "filter_events_userid_mod_band": (
             "SELECT event_id, user_id FROM events "

@@ -213,15 +213,23 @@ def filter_eq_string_table(
     out_cols are gathered at match positions (``DictStringCodec.
     positions_eq``; the predicate analogue of the reference's dictionary
     lookup, ``experiments/raw_test_dictionary.cpp:107-112``). Other string
-    codecs decode once and compare with one Arrow C++ ``equal`` kernel."""
+    codecs decode once and compare with one Arrow C++ ``equal`` kernel.
+    String zone maps prune chunks whose [zsmin, zsmax] excludes the value
+    AT THE SCAN (null zone maps — pre-zone-map stores — never prune)."""
     from ..select import column_positions_eq_string
 
     needle = value.encode()
+    zmin, zmax = F.col("_zmin"), F.col("_zmax")
+    prune = (zmin.isNull() | (zmin <= F.lit(value))) & (
+        zmax.isNull() | (zmax >= F.lit(value))
+    )
 
     def pos_fn(payload, n, logical):
         return column_positions_eq_string(bytes(payload), n, needle)
 
-    return _gather_table(spark, store, column, out_cols, pos_fn)
+    return _gather_table(
+        spark, store, column, out_cols, pos_fn, prune, zone_fields=("zsmin", "zsmax")
+    )
 
 
 def filter_gt_string_table(

@@ -338,3 +338,29 @@ def test_int_framing_filter_gt_and_mod_band_property(data):
     got = np.sort(column_filter_mod_band(payload, vals.size, "int64", base, lo, hi))
     rem = vals % base  # numpy floor semantics == the oracle's
     np.testing.assert_array_equal(got, np.flatnonzero((rem > lo) & (rem < hi)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_string_prefix_filter_property(data):
+    """Prefix filter == startswith over arbitrary framed blocks, incl
+    0xff-boundary prefixes (upper bound carries/overflows)."""
+    import pandas as pd
+
+    from learn_to_compress_spark.select import (
+        column_positions_prefix_string,
+        encode_string_column,
+    )
+
+    n = data.draw(st.integers(1, 200))
+    rows = data.draw(st.lists(st.text(max_size=10), min_size=n, max_size=n))
+    ser = pd.Series(rows, dtype="object")
+    _, payload = encode_string_column(ser)
+    prefix_s = data.draw(
+        st.one_of(st.text(min_size=1, max_size=6), st.sampled_from([r[:3] for r in rows if r] or ["x"]))
+    )
+    prefix = prefix_s.encode("utf-8")
+    got = np.sort(column_positions_prefix_string(payload, n, prefix))
+    enc = [r.encode("utf-8") for r in rows]
+    want = np.array([i for i, r in enumerate(enc) if r.startswith(prefix)], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)

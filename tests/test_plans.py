@@ -129,3 +129,17 @@ def test_filter_gt_string_plan_pushes_string_zone_map(spark, tmp_path):
         for r in decode_table(spark, store).filter(F.col("conv_id") > "conv-0000000030").collect()
     }
     assert got == want
+
+
+def test_filter_eq_string_plan_pushes_string_zone_map(spark, tmp_path):
+    from learn_to_compress_spark.operators import filter_eq_string_table
+
+    store = _store(spark, tmp_path, "plan_store_se")
+    df = filter_eq_string_table(spark, store, "role", "user", ["conv_id", "role"])
+    plan = explain_text(df)
+    assert shuffle_exchanges(df) == 0, plan
+    pushed = pushed_filters(df)
+    assert any("zsmin" in p or "zsmax" in p for p in pushed), (pushed, plan)
+    got = df.count()
+    want = decode_table(spark, store).filter(F.col("role") == "user").count()
+    assert got == want
