@@ -507,3 +507,63 @@ def simhash_near_dup_pairs(
     return cand.filter(hamming <= max_hamming).select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(doc_id, cluster_id)``,
+    with ``cluster_id`` = min doc id in the component — the stage that turns
+    a pair list into actionable dedup groups (keep ``doc_id == cluster_id``,
+    drop the rest).
+
+    Min-label propagation: each round joins current labels across the
+    (symmetrized) edge list and keeps the per-node minimum, converging in
+    O(component diameter) rounds. Near-dup components are star/clique
+    swarms of tiny diameter, so 2-4 rounds is typical; ``max_iters`` bounds
+    adversarial chains. 100 TB shape: every round is ONE shuffle keyed on
+    doc ids (never on text), the loop's driver state is a single changed
+    flag, and ``localCheckpoint`` truncates the growing plan lineage each
+    round; skewed hub components are AQE's skew-join case.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .withColumn("lbl", F.least(F.col("src"), F.col("lbl")))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("lbl").alias("nlbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(prop, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )

@@ -179,6 +179,19 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs → connected-component clusters (the stage that picks dedup
+    survivors): cluster_id = min doc_id of the component, via min-label
+    propagation over the verified MinHash pair list."""
+    from learn_to_compress_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return dedup_clusters(pairs)
+
+
 def pipeline_queries():
     return {
         "text_token_counts": q_token_counts,
@@ -188,6 +201,7 @@ def pipeline_queries():
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_clusters": q_dedup_clusters,
         "dedup_simhash_pairs": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -234,6 +248,27 @@ SELECT ia AS id_a, ib AS id_b
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE n * 1.0 / (ca.c + cb.c - n) >= 0.8
 """
+
+
+# connected components over the SAME brute-force pair set, as a recursive
+# reachability CTE: cluster label = min doc id reachable from each member
+_head, _tail = _MINHASH_ORACLE_SQL.split("SELECT ia AS id_a, ib AS id_b", 1)
+_CLUSTERS_ORACLE_SQL = (
+    _head.rstrip().rstrip(")").replace("WITH ", "WITH RECURSIVE ", 1)
+    + ")"
+    + ", p AS (SELECT ia AS id_a, ib AS id_b"
+    + _tail.rstrip()
+    + """),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+r(v, w) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.v, e.b FROM r JOIN e ON r.w = e.a
+)
+SELECT v AS doc_id, CAST(LEAST(v, MIN(w)) AS BIGINT) AS cluster_id
+FROM r GROUP BY v
+"""
+)
 
 # same brute force, but returning the exact Jaccard value per pair
 _NGRAM_JACCARD_ORACLE_SQL = _MINHASH_ORACLE_SQL.replace(
@@ -330,6 +365,7 @@ def pipeline_oracle_sql():
         ),
         "dedup_minhash_pairs": _MINHASH_ORACLE_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE_SQL,
+        "dedup_minhash_clusters": _CLUSTERS_ORACLE_SQL,
         "dedup_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "ann_brute_topk": _BRUTE_TOPK_SQL,
         "ann_lsh_topk": _BRUTE_TOPK_SQL,  # graded as exactness vs brute force

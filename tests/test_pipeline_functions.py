@@ -506,3 +506,16 @@ def test_video_container_true_frame_times(spark):
     assert list(by[2]["ts_ms"]) == [0, 500]
     # opaque: metadata grid fan-out (3000/500 = 6 rows)
     assert len(by[3]) == 6
+
+
+def test_dedup_clusters_components(spark):
+    """Connected components over pairs: chain (needs >1 propagation round),
+    cycle, and a simple pair — cluster_id = component min."""
+    from learn_to_compress_spark.functions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (21, 22), (22, 20), (20, 21), (5, 4)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 4: 4, 5: 4}
