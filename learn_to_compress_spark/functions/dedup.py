@@ -414,6 +414,20 @@ def simhash_signatures(
     return agg.select("id", sig.alias("simhash"))
 
 
+def _simhash_pairs(banded: DataFrame, join_keys) -> DataFrame:
+    """Bucket self-join of banded signatures → candidate (id, sig) pairs."""
+    l, r = banded.alias("l"), banded.alias("r")
+    on = F.col("l.id") < F.col("r.id")
+    for k in join_keys:
+        on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    return l.join(r, on).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.col("l.simhash").alias("sig_a"),
+        F.col("r.simhash").alias("sig_b"),
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -459,22 +473,19 @@ def simhash_near_dup_pairs(
         .filter(F.col("sz") > bucket_cap)
         .select(*keys)
     )
+    # common case: no bucket exceeds the cap — skip the refinement branch's
+    # extra shuffles entirely (one tiny aggregate decides; the hot list is
+    # needed driver-adjacent for the broadcast anyway)
+    if hot.limit(1).count() == 0:
+        pairs = _simhash_pairs(bands, keys).distinct()
+        hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        return pairs.filter(hamming <= max_hamming).select(
+            "id_a", "id_b", hamming.cast("int").alias("hamming")
+        )
     cold = bands.join(F.broadcast(hot), keys, "left_anti")
     hot_rows = bands.join(F.broadcast(hot), keys, "left_semi")
 
-    def _pairs(banded, join_keys):
-        l, r = banded.alias("l"), banded.alias("r")
-        on = F.col("l.id") < F.col("r.id")
-        for k in join_keys:
-            on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-        return l.join(r, on).select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.simhash").alias("sig_a"),
-            F.col("r.simhash").alias("sig_b"),
-        )
-
-    cand = _pairs(cold, keys)
+    cand = _simhash_pairs(cold, keys)
     # refinement pass: compact the three non-key bands into 48 bits, re-band
     # into 4×12-bit sub-buckets, cap again
     others = [
@@ -502,7 +513,7 @@ def simhash_near_dup_pairs(
         ).alias("sub", "subbucket"),
     )
     refined = _cap_buckets(refined, bucket_cap, keys=keys + ["sub", "subbucket"])
-    cand = cand.unionByName(_pairs(refined, keys + ["sub", "subbucket"])).distinct()
+    cand = cand.unionByName(_simhash_pairs(refined, keys + ["sub", "subbucket"])).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.filter(hamming <= max_hamming).select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
