@@ -115,30 +115,47 @@ def main() -> int:
         mp["rows"] / timings["encode_transcripts_presorted"]
     )
 
-    # --- events + lineitem ---
+    # --- events + lineitem --- (best-of-2 like every other query: single
+    # passes on this box swing 3-4x with neighbor-tenant drift, which made
+    # round-over-round comparisons read as phantom regressions)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    with timed("encode_events"):
-        me = encode_table(ev, f"{work}/events", key_cols=("user_id", "ts"), resume=False)
+    me = {}
+
+    def _enc_ev(i=iter((0, 1))):
+        me.update(
+            encode_table(ev, f"{work}/events{next(i)}", key_cols=("user_id", "ts"), resume=False)
+        )
+
+    timed_best2("encode_events", _enc_ev)
     extra["events_ratio"] = round(me["ratio"], 4)
-    with timed("decode_events"):
-        decode_table(spark, f"{work}/events").count()
+    timed_best2("decode_events", lambda: decode_table(spark, f"{work}/events1").count())
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    with timed("encode_lineitem"):
-        ml = encode_table(
-            li, f"{work}/lineitem", key_cols=("l_orderkey", "l_linenumber"), resume=False
+    ml = {}
+
+    def _enc_li(i=iter((0, 1))):
+        ml.update(
+            encode_table(
+                li, f"{work}/lineitem{next(i)}",
+                key_cols=("l_orderkey", "l_linenumber"), resume=False,
+            )
         )
+
+    timed_best2("encode_lineitem", _enc_li)
     extra["lineitem_ratio"] = round(ml["ratio"], 4)
-    with timed("decode_lineitem"):
-        decode_table(spark, f"{work}/lineitem").count()
+    timed_best2("decode_lineitem", lambda: decode_table(spark, f"{work}/lineitem1").count())
 
     # --- pushdowns over the encoded lineitem/events stores ---
-    with timed("sum_pushdown_orderkey"):
-        sum_column(spark, f"{work}/lineitem", "l_orderkey").collect()
-    with timed("filter_pushdown_ts"):
-        filter_gt_table(
-            spark, f"{work}/events", "ts", 1_706_400_000_000_000, ["event_id", "ts"]
-        ).count()
+    timed_best2(
+        "sum_pushdown_orderkey",
+        lambda: sum_column(spark, f"{work}/lineitem1", "l_orderkey").collect(),
+    )
+    timed_best2(
+        "filter_pushdown_ts",
+        lambda: filter_gt_table(
+            spark, f"{work}/events1", "ts", 1_706_400_000_000_000, ["event_id", "ts"]
+        ).count(),
+    )
 
     # --- training-pipeline ops ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
