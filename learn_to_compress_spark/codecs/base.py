@@ -48,6 +48,24 @@ class IntCodec:
         return np.flatnonzero(self.decode(payload, n) > self.dtype.type(v))
 
 
+# Largest |float64 prediction| that may be truncated with .astype(np.int64):
+# outside [-2^63, 2^63) the cast is architecture-DEPENDENT (x86 cvttsd2si
+# saturates to INT64_MIN for both overflow directions; aarch64 fcvtzs clamps
+# to the nearest bound), so a store written on x86 would decode differently
+# on ARM. The 2^14 margin (8 ulp at 2^63) absorbs float re-association between
+# the encoder's `predf + shift` and decode's `(theta0+shift) + theta1*x`.
+PRED_SAFE_MAX = 2.0**63 - 2.0**14
+
+
+def preds_castable(predf: np.ndarray) -> bool:
+    """True iff every float prediction truncates to int64 identically on
+    every architecture (finite and safely inside [-2^63, 2^63))."""
+    if predf.size == 0:
+        return True
+    m = float(np.abs(predf).max())
+    return bool(np.isfinite(m)) and m < PRED_SAFE_MAX
+
+
 def as_signed64(values: np.ndarray) -> np.ndarray:
     """C-style conversion to int64 (wraps for uint64 ≥ 2^63, widens others)."""
     if values.dtype == np.uint64:

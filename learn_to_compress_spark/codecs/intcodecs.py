@@ -21,7 +21,7 @@ from ..bitpack import (
     unpack_signmag,
     unpack_unsigned,
 )
-from .base import IntCodec, as_signed64, bits_int
+from .base import IntCodec, as_signed64, bits_int, preds_castable
 
 _U64 = np.uint64
 
@@ -266,39 +266,55 @@ class LecoFixCodec(IntCodec):
         return sign, mag, pred
 
     def _recenter(self, values: np.ndarray, theta0: float, theta1: float):
-        """Pick the intercept shift with the smallest residual width.
+        """Pick the intercept shift with the smallest residual width, or
+        ``None`` when no shift keeps predictions int64-castable (raw escape).
 
         Candidate A is the reference's midpoint recenter
         (``piecewise_fix_integer_template.h:36-46``). Candidate B aligns the
         continuous error range just below zero so that an exactly-quantized
         ramp (error width < 1, e.g. the SOSD linear dataset) truncates to
         ZERO residuals — a strict improvement the reference misses; decode
-        is unchanged (theta is stored)."""
+        is unchanged (theta is stored).
+
+        Every float→int64 cast is guarded by ``preds_castable`` FIRST: out of
+        range the cast saturates differently per architecture (x86 →
+        INT64_MIN both directions, aarch64 → nearest bound), which would make
+        a store written on one arch decode differently on another."""
         n = values.size
-        with np.errstate(invalid="ignore"):
-            x = np.arange(n, dtype=np.float64)
-            predf = theta0 + theta1 * x
-            pred0 = predf.astype(np.int64)
-            err = as_signed64(values) - pred0
-            lo, hi = int(err.min()), int(err.max())
-            # continuous error drives the floor-align candidate: shifting by
-            # its max puts every prediction in [y, y+w), so w<1 → residual 0
-            errf = as_signed64(values).astype(np.float64) - predf
-            hf = float(errf.max()) if n else 0.0
-            best = None
-            for t0 in (theta0 + (hi + lo) / 2.0, theta0 + hf):
-                sign, mag, _ = self._residuals(values, t0, theta1)
-                m = int(mag.max()) if n else 0
-                if best is None or m < best[0]:
-                    best = (m, t0, sign, mag)
+        x = np.arange(n, dtype=np.float64)
+        predf = theta0 + theta1 * x
+        yf = as_signed64(values).astype(np.float64)
+        errf = yf - predf
+        if preds_castable(predf):
+            # exact int-domain error range drives the midpoint candidate
+            err = as_signed64(values) - predf.astype(np.int64)
+            mid = (int(err.max()) + int(err.min())) / 2.0
+        else:
+            # unshifted fit already leaves int64 — approximate the midpoint
+            # in the float domain; the per-candidate guard below stays exact
+            mid = (float(errf.max()) + float(errf.min())) / 2.0 if n else 0.0
+        hf = float(errf.max()) if n else 0.0
+        best = None
+        for shift in (mid, hf):
+            t0 = theta0 + shift
+            if not np.isfinite(shift) or not preds_castable(predf + shift):
+                continue
+            sign, mag, _ = self._residuals(values, t0, theta1)
+            m = int(mag.max()) if n else 0
+            if best is None or m < best[0]:
+                best = (m, t0, sign, mag)
+        if best is None:  # no castable candidate — caller must raw-escape
+            return None
         return best[1], best[2], best[3], best[0]
 
     def encode(self, values: np.ndarray) -> bytes:
         values = np.ascontiguousarray(values, dtype=self.dtype)
         n = values.size
         theta0, theta1 = self._fit(values)
-        with np.errstate(invalid="ignore"):
-            theta0, sign, mag, max_error = self._recenter(values, theta0, theta1)
+        rec = self._recenter(values, theta0, theta1)
+        if rec is None:
+            return bytes([self.width]) + values.tobytes()
+        theta0, sign, mag, max_error = rec
         max_bit = bits_int(max_error) + 1 if max_error else 0
         if max_bit > self.width:
             max_bit = self.width
@@ -318,6 +334,8 @@ class LecoFixCodec(IntCodec):
         return max_bit, theta0, theta1, 17
 
     def _pred(self, theta0, theta1, idx):
+        # stored thetas passed preds_castable at encode, so this cast never
+        # saturates (saturation is architecture-dependent: x86 vs aarch64)
         return (theta0 + theta1 * idx.astype(np.float64)).astype(np.int64)
 
     def _combine(self, pred, sign, mag):

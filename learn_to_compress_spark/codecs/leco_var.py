@@ -27,7 +27,7 @@ import struct
 import numpy as np
 
 from ..bitpack import pack_signmag, unpack_signmag
-from .base import IntCodec, bits_int
+from .base import IntCodec, bits_int, preds_castable
 
 _SEG_META = 4 + 1 + 8 + 8  # start:u32 + bit:u8 + theta0:f64 + theta1:f64
 
@@ -84,10 +84,11 @@ class LecoVarCodec(IntCodec):
         (``piecewise_cost_merge_integer_template_link.h:112-113``): float64
         keeps residual widths tight on our 64Ki-row chunks, where float32
         slope error alone would add bits; costs 8 bytes/segment."""
+        # serialized thetas passed the preds_castable guard in _seg_cost, so
+        # this cast never saturates (architecture-independent contract)
         x = _xrange(e - s)
-        with np.errstate(invalid="ignore", over="ignore"):
-            pred = (theta0 + theta1 * x).astype(np.int64)
-            return y64[s:e] - pred, pred
+        pred = (theta0 + theta1 * x).astype(np.int64)
+        return y64[s:e] - pred, pred
 
     def _ser_bytes(self, m: int, l: int) -> int:
         if l >= self.width:
@@ -102,22 +103,24 @@ class LecoVarCodec(IntCodec):
         latter truncates an exactly-quantized ramp to zero residuals."""
         theta0, theta1 = fitter.fit(s, e)
         # ONE model evaluation; both recenter candidates are derived from it
-        # (callers wrap the segment sweep in a single np.errstate context —
-        # per-call errstate was ~30% of encode wall at 6k segments/chunk)
         yseg = y64[s:e]
         predf = theta0 + theta1 * _xrange(e - s)
-        err = yseg - predf.astype(np.int64)
-        lo, hi = int(err.min()), int(err.max())
         errf = yseg - predf
+        if preds_castable(predf):
+            err = yseg - predf.astype(np.int64)
+            mid = (int(err.max()) + int(err.min())) / 2.0
+        else:  # unshifted fit leaves int64: float-domain midpoint fallback
+            mid = (float(errf.max()) + float(errf.min())) / 2.0 if e > s else 0.0
         hf = float(errf.max()) if e > s else 0.0
         best = None
-        for shift in ((hi + lo) / 2.0, hf):
+        for shift in (mid, hf):
             pred2f = predf + shift
             # A shift that pushes any prediction outside int64 is unusable:
-            # .astype(int64) would saturate to INT64_MIN, the int64
-            # subtraction wraps, and the wrapped magnitudes lie about the
-            # needed width (hypothesis counterexample [0, 2^63-512, 0]).
-            if not np.isfinite(shift) or float(np.abs(pred2f).max()) >= 2.0**63:
+            # .astype(int64) would saturate ARCHITECTURE-DEPENDENTLY (x86 →
+            # INT64_MIN, aarch64 → nearest bound), the int64 subtraction
+            # wraps, and the wrapped magnitudes lie about the needed width
+            # (hypothesis counterexample [0, 2^63-512, 0]).
+            if not np.isfinite(shift) or not preds_castable(pred2f):
                 continue
             err2 = yseg - pred2f.astype(np.int64)
             # |err| in the uint64 view: |INT64_MIN| == 2^63 stays exact
@@ -138,8 +141,9 @@ class LecoVarCodec(IntCodec):
         return _SEG_META + (-(-(e - s) * l // 8)), l, theta0, theta1, amax
 
     def encode(self, values: np.ndarray) -> bytes:
-        with np.errstate(invalid="ignore", over="ignore"):
-            return self._encode_impl(values)
+        # no errstate suppression: every float→int64 cast is guarded by
+        # preds_castable, so a warning here is a real bug (pytest errors on it)
+        return self._encode_impl(values)
 
     def _encode_impl(self, values: np.ndarray) -> bytes:
         values = np.ascontiguousarray(values, dtype=self.dtype)
@@ -263,8 +267,7 @@ class LecoVarCodec(IntCodec):
                 off += m * self.dtype.itemsize
                 continue
             x = np.arange(m, dtype=np.float64)
-            with np.errstate(invalid="ignore", over="ignore"):
-                pred = (t0 + t1 * x).astype(np.int64)
+            pred = (t0 + t1 * x).astype(np.int64)  # stored thetas are guarded
             if l == 0:
                 out[s:e] = pred
                 continue
@@ -311,8 +314,7 @@ class LecoVarCodec(IntCodec):
                 )
                 out[sel] = vals[local].astype(np.int64) if self.width < 64 else vals[local].view(np.int64)
                 continue
-            with np.errstate(invalid="ignore", over="ignore"):
-                pred = (t0 + t1 * local.astype(np.float64)).astype(np.int64)
+            pred = (t0 + t1 * local.astype(np.float64)).astype(np.int64)
             if l == 0:
                 out[sel] = pred
                 continue

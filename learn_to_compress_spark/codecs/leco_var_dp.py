@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .base import PRED_SAFE_MAX
 from .leco_var import _SEG_META, _Fitter, LecoVarCodec
 
 
@@ -96,20 +97,34 @@ class LecoVarDpCodec(LecoVarCodec):
                 xloc = np.arange(L, dtype=np.float64)
                 Y = np.lib.stride_tricks.sliding_window_view(yw, L)
                 modelf = theta0[:, None] + theta1[:, None] * xloc
-                err = Y - modelf.astype(np.int64)
-                lo = err.min(axis=1)
-                hi = err.max(axis=1)
-                hf = (Y - modelf).max(axis=1)
+                # int-domain midpoint only where the unshifted model casts
+                # safely — out of [-2^63, 2^63) the float→int64 cast is
+                # ARCHITECTURE-DEPENDENT (x86 saturates to INT64_MIN, aarch64
+                # clamps to the nearest bound); unsafe rows fall back to the
+                # float-domain midpoint, never touching a saturating cast
+                mok = np.abs(modelf).max(axis=1) < PRED_SAFE_MAX
+                modeli = np.zeros_like(modelf, dtype=np.int64)
+                modeli[mok] = modelf[mok].astype(np.int64)
+                err = Y - modeli
+                errf = Y - modelf
+                lo = np.where(mok, err.min(axis=1), errf.min(axis=1))
+                hi = np.where(mok, err.max(axis=1), errf.max(axis=1))
+                hf = errf.max(axis=1)
                 best_m = None
                 for shift in ((hi + lo) / 2.0, hf):
                     pred2f = (theta0 + shift)[:, None] + theta1[:, None] * xloc
-                    # candidates whose predictions leave int64 are unusable:
-                    # .astype saturates to INT64_MIN, the subtraction wraps
-                    # and the wrapped magnitudes look falsely small (the
-                    # width-64 top-bit bug — repro [0, 2^63-512, 0]). Force
-                    # such candidates to raw width instead.
-                    bad = np.abs(pred2f).max(axis=1) >= 2.0**63
-                    err2 = Y - pred2f.astype(np.int64)
+                    # candidates whose predictions leave the castable range
+                    # are unusable (saturation wraps the int64 subtraction and
+                    # the wrapped magnitudes look falsely small — the width-64
+                    # top-bit bug, repro [0, 2^63-512, 0]). Force such
+                    # candidates to raw width instead; the masked cast below
+                    # never saturates on ANY architecture.
+                    finite = np.isfinite(pred2f).all(axis=1)
+                    bad = ~finite | ~(np.abs(pred2f).max(axis=1) < PRED_SAFE_MAX)
+                    pred2i = np.zeros_like(pred2f, dtype=np.int64)
+                    ok = ~bad
+                    pred2i[ok] = pred2f[ok].astype(np.int64)
+                    err2 = Y - pred2i
                     # |err| via the uint64 view: |INT64_MIN| == 2^63 exact
                     m2 = np.abs(err2).view(np.uint64).max(axis=1)
                     m2 = np.where(bad, np.uint64(2**63), m2)

@@ -38,7 +38,7 @@ from ..bitpack import (
     ref_tail_pad_signmag,
     unpack_signmag,
 )
-from .base import IntCodec, as_signed64, bits_int
+from .base import IntCodec, as_signed64, bits_int, preds_castable
 
 _U64 = np.uint64
 
@@ -77,6 +77,8 @@ class LecoOutlierCodec(IntCodec):
         return theta0, theta1
 
     def _mags(self, values: np.ndarray, theta0: float, theta1: float):
+        # callers guard with preds_castable first — out-of-range float→int64
+        # casts saturate differently per architecture (x86 vs aarch64)
         n = values.size
         pred = (theta0 + theta1 * np.arange(n, dtype=np.float64)).astype(np.int64)
         if self.width == 64:
@@ -132,9 +134,17 @@ class LecoOutlierCodec(IntCodec):
         if values.size == 0:
             return _HEADER
         t0, t1 = self._trimmed_fit(values)
+        if not self._castable(t0, t1, values.size):
+            return 1 + values.size * self.dtype.itemsize
         _sign, mag, _pred = self._mags(values, t0, t1)
         _b, cost = self._best_width(mag)
         return min(cost, 1 + values.size * self.dtype.itemsize)
+
+    def _castable(self, t0: float, t1: float, n: int) -> bool:
+        """Model predictions must stay int64-castable for every slot (the
+        arch-independence contract of ``base.preds_castable``); a trimmed fit
+        on adversarial data can leave int64 → raw escape."""
+        return preds_castable(t0 + t1 * np.arange(n, dtype=np.float64))
 
     # --- encode / decode ---------------------------------------------------
 
@@ -144,6 +154,8 @@ class LecoOutlierCodec(IntCodec):
         if n == 0:
             return bytes([0]) + struct.pack("<ddI", 0.0, 0.0, 0)
         t0, t1 = self._trimmed_fit(values)
+        if not self._castable(t0, t1, n):
+            return bytes([self.width]) + values.tobytes()
         sign, mag, _pred = self._mags(values, t0, t1)
         b, cost = self._best_width(mag)
         if cost >= 1 + n * self.dtype.itemsize:

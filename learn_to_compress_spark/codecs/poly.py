@@ -23,7 +23,7 @@ from ..bitpack import (
     ref_tail_pad_signmag,
     unpack_signmag,
 )
-from .base import IntCodec, as_signed64, bits_int
+from .base import IntCodec, as_signed64, bits_int, preds_castable
 
 _U64 = np.uint64
 
@@ -56,9 +56,10 @@ class Poly2Codec(IntCodec):
         return float(t0), float(t1), float(t2)
 
     def _pred(self, t0, t1, t2, idx):
+        # encode guards (preds_castable) guarantee stored models keep every
+        # prediction inside int64, so this cast is architecture-independent
         x = idx.astype(np.float64)
-        with np.errstate(invalid="ignore", over="ignore"):
-            return (t0 + t1 * x + t2 * x * x).astype(np.int64)
+        return (t0 + t1 * x + t2 * x * x).astype(np.int64)
 
     def _residuals(self, values, t0, t1, t2):
         pred = self._pred(t0, t1, t2, np.arange(values.size))
@@ -74,30 +75,44 @@ class Poly2Codec(IntCodec):
 
     def _recenter(self, values, t0, t1, t2):
         """Midpoint intercept recenter (same trick as LeCo_fix,
-        ``piecewise_fix_integer_template.h:36-46``) + floor-align candidate."""
+        ``piecewise_fix_integer_template.h:36-46``) + floor-align candidate.
+        Returns ``None`` when no candidate keeps predictions int64-castable
+        (architecture-independent contract — see ``base.preds_castable``);
+        callers raw-escape."""
         n = values.size
-        with np.errstate(invalid="ignore", over="ignore"):
-            x = np.arange(n, dtype=np.float64)
+        x = np.arange(n, dtype=np.float64)
+        with np.errstate(over="ignore"):  # t2·x² may overflow to ±inf; guarded below
             predf = t0 + t1 * x + t2 * x * x
-            pred0 = predf.astype(np.int64)
-            err = as_signed64(values) - pred0
-            lo, hi = int(err.min()), int(err.max())
-            errf = as_signed64(values).astype(np.float64) - predf
+        errf = as_signed64(values).astype(np.float64) - predf
+        if preds_castable(predf):
+            err = as_signed64(values) - predf.astype(np.int64)
+            mid = (int(err.max()) + int(err.min())) / 2.0
+        else:
+            with np.errstate(invalid="ignore"):
+                mid = (float(errf.max()) + float(errf.min())) / 2.0 if n else 0.0
+        with np.errstate(invalid="ignore"):
             hf = float(errf.max()) if n else 0.0
-            best = None
-            for cand in (t0 + (hi + lo) / 2.0, t0 + hf):
-                sign, mag, _ = self._residuals(values, cand, t1, t2)
-                m = int(mag.max()) if n else 0
-                if best is None or m < best[0]:
-                    best = (m, cand, sign, mag)
+        best = None
+        for shift in (mid, hf):
+            cand = t0 + shift
+            if not np.isfinite(shift) or not preds_castable(predf + shift):
+                continue
+            sign, mag, _ = self._residuals(values, cand, t1, t2)
+            m = int(mag.max()) if n else 0
+            if best is None or m < best[0]:
+                best = (m, cand, sign, mag)
+        if best is None:
+            return None
         return best[1], best[2], best[3], best[0]
 
     def size_bytes(self, values: np.ndarray) -> int:
         """Analytic compressed size without packing (for auto-selection)."""
         values = np.ascontiguousarray(values, dtype=self.dtype)
         t0, t1, t2 = self._fit(values)
-        with np.errstate(invalid="ignore", over="ignore"):
-            _t0, _sign, _mag, max_err = self._recenter(values, t0, t1, t2)
+        rec = self._recenter(values, t0, t1, t2)
+        if rec is None:
+            return 1 + values.size * self.dtype.itemsize
+        max_err = rec[3]
         max_bit = bits_int(max_err) + 1 if max_err else 0
         if max_bit >= self.width:
             return 1 + values.size * self.dtype.itemsize
@@ -108,8 +123,10 @@ class Poly2Codec(IntCodec):
         values = np.ascontiguousarray(values, dtype=self.dtype)
         n = values.size
         t0, t1, t2 = self._fit(values)
-        with np.errstate(invalid="ignore", over="ignore"):
-            t0, sign, mag, max_err = self._recenter(values, t0, t1, t2)
+        rec = self._recenter(values, t0, t1, t2)
+        if rec is None:
+            return bytes([self.width]) + values.tobytes()
+        t0, sign, mag, max_err = rec
         max_bit = bits_int(max_err) + 1 if max_err else 0
         if max_bit >= self.width:
             return bytes([self.width]) + values.tobytes()

@@ -159,7 +159,12 @@ class FsstStringCodec:
         ]
         blob = fsst_mod.decompress(b"".join(spans), symbols)
         out_ends = np.cumsum(ends[positions] - starts[positions]).astype(np.int64)
-        assert len(blob) == (int(out_ends[-1]) if out_ends.size else 0)
+        want = int(out_ends[-1]) if out_ends.size else 0
+        if len(blob) != want:  # corrupt payload would mis-split rows silently
+            raise ValueError(
+                f"FSST gather: decoded {len(blob)} bytes, expected {want} "
+                "(corrupt payload or symbol table)"
+            )
         return _from_blob(blob, out_ends)
 
 

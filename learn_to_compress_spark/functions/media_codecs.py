@@ -298,7 +298,13 @@ def probe_mp4(payload: bytes) -> dict | None:
     Returns ``{"format": "mp4", "duration_ms", "frame_times_ms",
     "width", "height"}`` or None when the payload isn't ISO-BMFF. Spec:
     ISO/IEC 14496-12 §8.2.2 (mvhd), §8.3.2 (tkhd), §8.4.2 (mdhd),
-    §8.6.1.2 (stts)."""
+    §8.4.3 (hdlr), §8.6.1.2 (stts).
+
+    Track selection: only a trak whose ``hdlr`` handler_type is ``vide``
+    supplies ``frame_times_ms`` — in common real-world files the audio trak
+    precedes the video trak, and its stts rows are audio sample-chunk times,
+    not frames. Falls back to the first stts-bearing trak only when no video
+    trak exists."""
     n = len(payload)
     if n < 16 or payload[4:8] != b"ftyp":
         return None
@@ -317,6 +323,8 @@ def probe_mp4(payload: bytes) -> dict | None:
             ts, dur = struct.unpack_from(">II", payload, mvhd[0] + 12)
         if ts:
             out["duration_ms"] = int(dur * 1000 // ts)
+    video_cand = None  # (frame_times_ms, trak_dur_ms) from a 'vide' trak
+    fallback_cand = None  # first stts-bearing trak of any handler type
     for btype, t0, t1 in _iter_boxes(payload, m0, m1):
         if btype != b"trak":
             continue
@@ -331,6 +339,15 @@ def probe_mp4(payload: bytes) -> dict | None:
         mdia = _find_box(payload, t0, t1, [b"mdia"])
         if mdia is None:
             continue
+        # handler type: frame timestamps only make sense for a video trak
+        hdlr = _find_box(payload, mdia[0], mdia[1], [b"hdlr"])
+        is_video = (
+            hdlr is not None
+            and hdlr[0] + 12 <= hdlr[1]
+            and bytes(payload[hdlr[0] + 8 : hdlr[0] + 12]) == b"vide"
+        )
+        if video_cand is not None or (fallback_cand is not None and not is_video):
+            continue  # already have a better-or-equal candidate
         mdhd = _find_box(payload, mdia[0], mdia[1], [b"mdhd"])
         stts = _find_box(payload, mdia[0], mdia[1], [b"minf", b"stbl", b"stts"])
         if mdhd is None or stts is None:
@@ -347,10 +364,19 @@ def probe_mp4(payload: bytes) -> dict | None:
         deltas = np.repeat(ent[:, 1], ent[:, 0])
         if deltas.size and mts:
             starts = np.concatenate(([0], np.cumsum(deltas[:-1])))
-            out["frame_times_ms"] = (starts * 1000 // mts).astype(np.int64)
-            if out["duration_ms"] is None:
-                out["duration_ms"] = int(deltas.sum() * 1000 // mts)
-            break  # first track with a time-to-sample table wins
+            cand = (
+                (starts * 1000 // mts).astype(np.int64),
+                int(deltas.sum() * 1000 // mts),
+            )
+            if is_video:
+                video_cand = cand
+            elif fallback_cand is None:
+                fallback_cand = cand
+    chosen = video_cand if video_cand is not None else fallback_cand
+    if chosen is not None:
+        out["frame_times_ms"] = chosen[0]
+        if out["duration_ms"] is None:
+            out["duration_ms"] = chosen[1]
     return out
 
 

@@ -123,9 +123,13 @@ def int_codec_sizes(vals: np.ndarray, dtype, candidates=None) -> dict[str, float
     if wanted("leco"):
         leco = LecoFixCodec(dtype)
         theta0, theta1 = leco._fit(vals)
-        _t0, _sign, _mag, lmax = leco._recenter(vals, theta0, theta1)
-        b_leco = bits_int(lmax) + 1 if lmax else 0
-        sizes["leco"] = raw_size if b_leco >= w else 17 + sm_payload(n, b_leco)
+        rec = leco._recenter(vals, theta0, theta1)
+        if rec is None:  # no int64-castable recenter — leco would raw-escape
+            sizes["leco"] = raw_size
+        else:
+            lmax = rec[3]
+            b_leco = bits_int(lmax) + 1 if lmax else 0
+            sizes["leco"] = raw_size if b_leco >= w else 17 + sm_payload(n, b_leco)
 
     n_runs = int((vals[1:] != vals[:-1]).sum()) + 1 if n else 0
     if wanted("rle"):

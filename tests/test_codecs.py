@@ -653,6 +653,68 @@ def test_leco_var_recenter_overflow_regression(codec_name):
         assert codec.sum(payload, vals.size) == int(vals.sum(dtype=object))
 
 
+# Inputs whose fitted-line/quadratic predictions leave int64: the unguarded
+# float->int64 cast saturates ARCHITECTURE-DEPENDENTLY (x86 cvttsd2si ->
+# INT64_MIN both directions, aarch64 fcvtzs -> nearest bound), so a store
+# written on x86 would decode differently on ARM. The contract (matching the
+# truncation convention of headers/piecewise_fix_integer_template.h:54) is:
+# reject uncastable recenter candidates, and raw-escape when none survives.
+_OVERFLOW_BLOCKS = {
+    "spike": np.array([0, 2**63 - 512, 0], dtype=np.uint64),
+    "alt": np.repeat(np.array([0, 2**63 - 512], dtype=np.uint64), 40),
+    "steep": np.arange(300, dtype=np.uint64) * np.uint64((2**64 - 1) // 300),
+    "topband": np.array([2**64 - 1, 0, 2**64 - 1, 2**63, 2**63 - 1], dtype=np.uint64),
+}
+
+# sha256[:16] of the exact serialized payloads — byte-level golden vectors so
+# any drift in the escape/guard behavior (not just roundtrip self-consistency)
+# fails loudly. leco/poly2/leco_outlier raw-escape every block (identical
+# payload: max_bit=64 | raw values); the segmented codecs keep guarded models.
+_OVERFLOW_GOLDEN = {
+    ("leco", "spike"): "2a9fe9ead92584f6",
+    ("leco", "alt"): "8a98c3511e61f9f1",
+    ("leco", "steep"): "4fdddb9b28fdf0d9",
+    ("leco", "topband"): "1d040f794c3283d8",
+    ("poly2", "spike"): "2a9fe9ead92584f6",
+    ("poly2", "alt"): "8a98c3511e61f9f1",
+    ("poly2", "steep"): "4fdddb9b28fdf0d9",
+    ("poly2", "topband"): "1d040f794c3283d8",
+    ("leco_outlier", "spike"): "2a9fe9ead92584f6",
+    ("leco_outlier", "alt"): "8a98c3511e61f9f1",
+    ("leco_outlier", "steep"): "4fdddb9b28fdf0d9",
+    ("leco_outlier", "topband"): "1d040f794c3283d8",
+    ("leco_var", "spike"): "fe4f6fa7ecb17410",
+    ("leco_var", "alt"): "94b51e75eeb418b2",
+    ("leco_var", "steep"): "3c9957816138438b",
+    ("leco_var", "topband"): "ae014dc2325cd494",
+    ("leco_var_dp", "spike"): "fe4f6fa7ecb17410",
+    ("leco_var_dp", "alt"): "94b51e75eeb418b2",
+    ("leco_var_dp", "steep"): "7915b40d518e8fc7",
+    ("leco_var_dp", "topband"): "d91db7dfbeeec276",
+}
+
+
+@pytest.mark.parametrize(
+    "codec_name", ["leco", "poly2", "leco_outlier", "leco_var", "leco_var_dp"]
+)
+def test_prediction_cast_overflow_golden_bytes(codec_name):
+    """Stored BYTES (not just roundtrip) are pinned for overflow inputs —
+    encode never performs a saturating cast (pytest.ini errors the warning),
+    so both the payload and its decode are architecture-independent."""
+    import hashlib
+
+    codec = int_codec(codec_name, np.uint64)
+    for bname, vals in _OVERFLOW_BLOCKS.items():
+        payload = codec.encode(vals)
+        got = hashlib.sha256(payload).hexdigest()[:16]
+        assert got == _OVERFLOW_GOLDEN[(codec_name, bname)], (codec_name, bname, got)
+        np.testing.assert_array_equal(codec.decode(payload, vals.size), vals)
+    # the fixed-width families raw-escape all four blocks: max_bit==width
+    if codec_name in ("leco", "poly2", "leco_outlier"):
+        for vals in _OVERFLOW_BLOCKS.values():
+            assert codec.encode(vals)[0] == 64
+
+
 def _gt_want(rows, needle, strict):
     return np.array(
         [i for i, r in enumerate(rows) if (r > needle if strict else r >= needle)],
