@@ -261,6 +261,39 @@ def _bitmap_query():
     return fn
 
 
+def _forced_decode_query(table: str, cols: list[str], codec: str, check_col: str):
+    """Decode a store whose codec selection is PINNED to one registry codec
+    (``selection="force:<codec>"`` — the per-codec verification seam,
+    mirroring the reference's fixed-method decode dispatch
+    ``experiments/best_compress.cpp:114-133``). The query asserts the pinned
+    codec actually serialized ``check_col``'s chunks before returning the
+    decode, so the oracle match certifies THAT codec end-to-end, not
+    whatever the auto-selection race would have picked."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.chunkstore import col_field, read_chunks
+        from learn_to_compress_spark.jobs import decode_table
+
+        store = _store_for(spark, sf_dir, table, selection=f"force:{codec}")
+        used = {
+            r[0]
+            for r in read_chunks(
+                spark,
+                store,
+                leaves=[F.col(f"{col_field(check_col)}.codec").alias("codec")],
+            )
+            .distinct()
+            .collect()
+        }
+        if codec not in used:
+            raise AssertionError(
+                f"forced codec {codec!r} absent from {table}.{check_col} chunks: {used}"
+            )
+        return decode_table(spark, store).select(*cols)
+
+    return fn
+
+
 def _learned_decode_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.jobs import decode_table
@@ -377,6 +410,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CART learned codec selection (op #37): full encode→decode roundtrip
         # with the learned selector choosing every int codec
         "decode_events_learned": _learned_decode_query(),
+        # per-codec forced-selection roundtrips (ops #10-17 individually):
+        # selection="force:<codec>" pins the codec for every chunk and the
+        # query asserts the pin landed, so each codec family has its own
+        # oracle-checked decode row (reference fixed-method dispatch,
+        # experiments/best_compress.cpp:114-133)
+        "decode_events_leco_var": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "leco_var", "ts"
+        ),
+        "decode_events_leco_var_dp": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "leco_var_dp", "ts"
+        ),
+        "decode_events_delta_var": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "delta_var", "ts"
+        ),
+        "decode_events_poly2": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "poly2", "ts"
+        ),
+        "decode_events_outlier": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "leco_outlier", "ts"
+        ),
+        "decode_documents_word_dict": _forced_decode_query(
+            "documents", ["doc_id", "text", "lang", "source"], "word_dict", "text"
+        ),
+        "decode_customer_wide_string": _forced_decode_query(
+            "customer", ["c_custkey", "c_name"], "leco_str_wide", "c_name"
+        ),
         # streaming surface, batch twins (streaming/windows.py): the same
         # F.window plan the watermarked stream runs, and the converged state
         # of the stateful conversation-progress operator — both SQL-checkable
@@ -444,6 +503,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts FROM events WHERE event_id % 97 = 0"
         ),
         "decode_events_learned": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_leco_var": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_leco_var_dp": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_delta_var": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_poly2": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_outlier": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_documents_word_dict": "SELECT doc_id, text, lang, source FROM documents",
+        "decode_customer_wide_string": "SELECT c_custkey, c_name FROM customer",
         "decode_events_compacted": "SELECT event_id, ts, user_id, value FROM events",
         "events_turns_per_window": (
             "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, "

@@ -104,7 +104,13 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..select import encode_double_column, encode_int_values, encode_string_column_arrow
+    from ..codecs import CODEC_IDS
+    from ..select import (
+        STRING_CODEC_IDS,
+        encode_double_column,
+        encode_int_values,
+        encode_string_column_arrow,
+    )
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -112,9 +118,19 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
     mask = col.is_null().to_numpy(zero_copy_only=False) if has_nulls else None
     nonnull = col.drop_null() if has_nulls else col
 
+    # a "force:<codec>" selection only applies to columns of the codec's
+    # kind — a forced int codec leaves string columns on the normal race
+    # and vice versa (doubles always race)
+    if selection.startswith("force:"):
+        forced = selection[6:]
+        int_sel = selection if forced in CODEC_IDS else "exact"
+        str_sel = selection if forced in STRING_CODEC_IDS else "exact"
+    else:
+        int_sel = str_sel = selection
+
     info: dict = {}
     if logical == "string":
-        name, payload = encode_string_column_arrow(col)
+        name, payload = encode_string_column_arrow(col, str_sel)
         raw = int(
             pc.sum(pc.binary_length(nonnull.cast(pa.large_binary()))).as_py() or 0
         )
@@ -129,7 +145,7 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
         raw = 8 * len(nonnull)
     else:
         raw_vals = nonnull.to_numpy(zero_copy_only=False)
-        name, payload = encode_int_values(raw_vals, mask, logical, selection)
+        name, payload = encode_int_values(raw_vals, mask, logical, int_sel)
         raw = (4 if logical == "int32" else 8) * len(nonnull)
         if len(nonnull):
             if logical.startswith("timestamp"):

@@ -161,9 +161,12 @@ def encode_int_values(
 
     ``raw``: the non-null values (datetime64[us] or integer dtype);
     ``mask``: boolean null mask over the full column, or None.
-    ``selection``: "exact" (analytic min-size, default) or "learned" (CART
+    ``selection``: "exact" (analytic min-size, default), "learned" (CART
     over block features, operator #37 — constant-time selection, no
-    poly2/leco_var races)."""
+    poly2/leco_var races), or "force:<codec>" (pin a registry codec for
+    every chunk — the per-codec verification seam, mirroring the
+    reference's fixed-method drivers ``experiments/best_compress.cpp:114-133``;
+    correctness is unaffected because every codec roundtrips exactly)."""
     udtype = np.dtype(_UNSIGNED_OF[logical])
     width = udtype.itemsize * 8
     stype = np.dtype(np.int32) if width == 32 else np.dtype(np.int64)
@@ -180,6 +183,10 @@ def encode_int_values(
         vals = vals ^ udtype.type(1 << (width - 1))
     if not vals.size:
         name = "raw"
+    elif selection.startswith("force:"):
+        name = selection[6:]
+        if name not in CODEC_IDS:
+            raise ValueError(f"force: unknown int codec {name!r}")
     elif selection == "learned":
         from .learned import pick_int_codec_learned
 
@@ -197,9 +204,11 @@ def encode_int_values(
     # Poly2 (operator #16, nonlinear_fix) joins the race only where the best
     # linear model left room — curvature is exactly what it fixes; its
     # analytic size is one extra vector pass (gated, so the common linear
-    # case never pays for it)
+    # case never pays for it). All races are skipped under force: — the
+    # pinned codec must stay the one serialized.
     if (
-        vals.size >= 256
+        selection == "exact"
+        and vals.size >= 256
         and name in ("leco", "for", "delta")
         and len(payload) > 0.02 * vals.nbytes
     ):
@@ -215,7 +224,8 @@ def encode_int_values(
     # exception-list codec keeps the narrow bulk width. Raced under the same
     # gate as poly2 (analytic size first, encode only on a win).
     if (
-        vals.size >= 256
+        selection == "exact"
+        and vals.size >= 256
         and name in ("leco", "for", "delta", "poly2")
         and len(payload) > 0.02 * vals.nbytes
     ):
@@ -232,7 +242,8 @@ def encode_int_values(
     # always; Delta_var (operator #13) only when fixed delta was the winner,
     # mirroring the reference's separate delta_cost codec.
     if (
-        vals.size >= 4096
+        selection == "exact"
+        and vals.size >= 4096
         and name in ("leco", "for", "delta", "poly2", "leco_outlier")
         and len(payload) > 0.05 * vals.nbytes
     ):
@@ -328,8 +339,13 @@ def _pick_string_codec(arr) -> str:
     return min(sizes, key=sizes.get)
 
 
-def encode_string_column_arrow(arr) -> tuple[str, bytes]:
-    """Arrow-native framing: the column never touches Python objects."""
+def encode_string_column_arrow(arr, selection: str = "exact") -> tuple[str, bytes]:
+    """Arrow-native framing: the column never touches Python objects.
+
+    ``selection="force:<codec>"`` pins a string codec for every chunk (the
+    per-codec verification seam). A forced LeCo rung falls back to the
+    normal race on chunks outside its eligibility domain — correctness
+    always wins over the pin."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -339,7 +355,18 @@ def encode_string_column_arrow(arr) -> tuple[str, bytes]:
     has_nulls = arr.null_count > 0
     nonnull = arr.drop_null().cast(pa.large_binary()) if has_nulls else arr.cast(pa.large_binary())
     flags = _FLAG_NULLS if has_nulls else 0
-    name = _pick_string_codec(nonnull) if len(nonnull) else "str_raw"
+    if not len(nonnull):
+        name = "str_raw"
+    elif selection.startswith("force:"):
+        name = selection[6:]
+        if name not in STRING_CODEC_IDS:
+            raise ValueError(f"force: unknown string codec {name!r}")
+        if name in ("leco_str", "leco_str_wide") and not STRING_CODEC_CLASSES[
+            name
+        ].eligible(nonnull):
+            name = _pick_string_codec(nonnull)
+    else:
+        name = _pick_string_codec(nonnull)
     payload = STRING_CODEC_CLASSES[name]().encode(nonnull) if len(nonnull) else b""
     parts = [bytes([flags])]
     if has_nulls:

@@ -715,6 +715,48 @@ def test_prediction_cast_overflow_golden_bytes(codec_name):
             assert codec.encode(vals)[0] == 64
 
 
+def test_forced_selection_seam():
+    """selection="force:<codec>" pins the framed codec (the per-codec
+    verification seam, VERDICT r3 item 3): the pinned name must serialize
+    and roundtrip for every int codec family; string forces pin the string
+    codec, with LeCo rungs falling back to the race when ineligible."""
+    import pyarrow as pa
+
+    from learn_to_compress_spark.select import (
+        decode_int_column,
+        decode_string_column,
+        encode_int_values,
+        encode_string_column_arrow,
+    )
+
+    vals = (RNG.normal(1e6, 1000, 3000)).astype(np.int64)
+    vals.sort()
+    for codec in ["leco_var", "leco_var_dp", "delta_var", "poly2", "leco_outlier",
+                  "for", "delta", "leco", "rle", "dict", "raw"]:
+        name, payload = encode_int_values(vals.copy(), None, "int64", f"force:{codec}")
+        assert name == codec
+        out = decode_int_column(payload, vals.size, "int64")
+        np.testing.assert_array_equal(out.to_numpy(), vals)
+    with pytest.raises(ValueError):
+        encode_int_values(vals, None, "int64", "force:nope")
+
+    rows = pa.array([b"id-%06d" % i for i in range(500)], type=pa.large_binary())
+    for codec in ["word_dict", "fsst", "str_dict", "str_raw", "leco_str"]:
+        name, payload = encode_string_column_arrow(rows, f"force:{codec}")
+        assert name == codec
+        out = decode_string_column(payload, len(rows))
+        assert list(out) == [r.decode() for r in rows.to_pylist()] or list(out) == [
+            r.as_py().decode() for r in rows
+        ]
+    # ineligible LeCo rung falls back to the race instead of corrupting:
+    # 200-char strings exceed every rung's width
+    blob = pa.array(["x" * 200, "y"], type=pa.large_string()).cast(pa.large_binary())
+    name, payload = encode_string_column_arrow(blob, "force:leco_str")
+    assert name != "leco_str"
+    out = decode_string_column(payload, 2)
+    assert list(out) == ["x" * 200, "y"]
+
+
 def _gt_want(rows, needle, strict):
     return np.array(
         [i for i, r in enumerate(rows) if (r > needle if strict else r >= needle)],
