@@ -47,7 +47,11 @@ def _prep(spark: SparkSession) -> None:
 
 
 def _store_for(
-    spark: SparkSession, sf_dir: str, table: str, selection: str = "exact"
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    selection: str = "exact",
+    chunk_rows=None,
 ) -> str:
     """Encode ``table`` into a cached chunk store (resume makes this a no-op
     when the store is already committed)."""
@@ -57,14 +61,17 @@ def _store_for(
     from learn_to_compress_spark.sources.session import package_digest
 
     key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}::{table}::{selection}::{package_digest()}".encode()
+        f"{os.path.abspath(sf_dir)}::{table}::{selection}::{chunk_rows or ''}"
+        f"::{package_digest()}".encode()
     ).hexdigest()[:16]
     store = os.path.join(_STORE_ROOT, key, table)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     # testdata is small; 16 parts keeps tiny-table stages sane even under a
     # driver session with 200 default shuffle partitions
+    kw = {} if chunk_rows is None else {"chunk_rows": chunk_rows}
     encode_table(
-        df, store, key_cols=_KEYS[table], num_parts=16, resume=True, selection=selection
+        df, store, key_cols=_KEYS[table], num_parts=16, resume=True,
+        selection=selection, **kw,
     )
     return store
 
@@ -294,6 +301,24 @@ def _forced_decode_query(table: str, cols: list[str], codec: str, check_col: str
     return fn
 
 
+def _tuned_decode_query():
+    """Decode a store encoded with ``chunk_rows="auto"`` — the sampled
+    block-size sweep (``headers/search_hyper.h:14`` ``pick_block_size``)
+    picks the chunk size; the oracle certifies the tuned store decodes
+    bit-identically."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.jobs import decode_table
+
+        store = _store_for(spark, sf_dir, "lineitem", chunk_rows="auto")
+        return decode_table(spark, store).select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice",
+        )
+
+    return fn
+
+
 def _learned_decode_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.jobs import decode_table
@@ -436,6 +461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_customer_wide_string": _forced_decode_query(
             "customer", ["c_custkey", "c_name"], "leco_str_wide", "c_name"
         ),
+        # block-size auto-tuner (headers/search_hyper.h:14 pick_block_size):
+        # the store's chunk size comes from a sampled candidate sweep instead
+        # of the static default; oracle certifies the tuned store decodes
+        "decode_lineitem_tuned": _tuned_decode_query(),
         # streaming surface, batch twins (streaming/windows.py): the same
         # F.window plan the watermarked stream runs, and the converged state
         # of the stateful conversation-progress operator — both SQL-checkable
@@ -510,6 +539,10 @@ def oracle_sql() -> dict[str, str]:
         "decode_events_outlier": "SELECT event_id, ts, user_id, value FROM events",
         "decode_documents_word_dict": "SELECT doc_id, text, lang, source FROM documents",
         "decode_customer_wide_string": "SELECT c_custkey, c_name FROM customer",
+        "decode_lineitem_tuned": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+            "l_extendedprice FROM lineitem"
+        ),
         "decode_events_compacted": "SELECT event_id, ts, user_id, value FROM events",
         "events_turns_per_window": (
             "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, "

@@ -144,6 +144,14 @@ def main() -> int:
     timed_best2("encode_lineitem", _enc_li)
     extra["lineitem_ratio"] = round(ml["ratio"], 4)
     timed_best2("decode_lineitem", lambda: decode_table(spark, f"{work}/lineitem1").count())
+    # block-size auto-tuner (untimed, CR evidence): sweep chunk sizes on a
+    # bounded sample and record the tuned ratio next to the default's
+    mt = encode_table(
+        li, f"{work}/lineitem_tuned", key_cols=("l_orderkey", "l_linenumber"),
+        resume=False, chunk_rows="auto",
+    )
+    extra["lineitem_chunk_rows_tuned"] = mt["chunk_rows"]
+    extra["lineitem_ratio_tuned"] = round(mt["ratio"], 4)
 
     # --- pushdowns over the encoded lineitem/events stores ---
     timed_best2(
@@ -154,6 +162,37 @@ def main() -> int:
         "filter_pushdown_ts",
         lambda: filter_gt_table(
             spark, f"{work}/events1", "ts", 1_706_400_000_000_000, ["event_id", "ts"]
+        ).count(),
+    )
+
+    # --- string pushdowns (r3 operators, benched per VERDICT r3 item 7) ---
+    from learn_to_compress_spark.operators import (
+        filter_eq_string_table,
+        filter_gt_string_table,
+        filter_prefix_string_table,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    encode_table(cust, f"{work}/customer", key_cols=("c_custkey",), resume=False)
+    timed_best2(
+        "filter_string_gt_name",
+        lambda: filter_gt_string_table(
+            spark, f"{work}/customer", "c_name", "Customer#000000900",
+            ["c_custkey", "c_name"],
+        ).count(),
+    )
+    timed_best2(
+        "filter_string_prefix_name",
+        lambda: filter_prefix_string_table(
+            spark, f"{work}/customer", "c_name", "Customer#00000012",
+            ["c_custkey", "c_name"],
+        ).count(),
+    )
+    timed_best2(
+        "filter_string_eq_eventtype",
+        lambda: filter_eq_string_table(
+            spark, f"{work}/events1", "event_type", "click",
+            ["event_id", "event_type"],
         ).count(),
     )
 

@@ -452,7 +452,14 @@ def simhash_near_dup_pairs(
     duplicates are exact-dedup's job)."""
     from pyspark import StorageLevel
 
-    sigs = simhash_signatures(df, **kw)
+    # persist the SIGNATURES, not the banded rows. Measured A/B on this box
+    # (tools/bench_simhash_paired.py, sf0.1, 3 interleaved rounds in one
+    # noise window): persist-sigs best 2.62 s vs persist-bands best 6.44 s —
+    # the 64-expression signature stage is the expensive part and caching n
+    # narrow rows beats caching the 4n-row posexplode output whose
+    # projection is four shift-ANDs. (r3's 9.12 s bench wall was box drift,
+    # not a plan defect: the same plan times 2.6 s in a clean window.)
+    sigs = simhash_signatures(df, **kw).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
         "id",
         "simhash",
@@ -465,12 +472,6 @@ def simhash_near_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # persist the BANDED rows, not the signatures: everything downstream
-    # (hot-bucket check, cold/hot splits, pair joins) consumes bands, so one
-    # cache covers both the expensive 64-expression signature stage AND the
-    # banding projection — r3 persisted sigs only, which re-ran the banding
-    # projection in the pairs pass even on the no-hot-bucket fast path
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
 
     keys = ["band", "bucket"]
     hot = (

@@ -162,6 +162,58 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
     return name, payload, info
 
 
+#: candidate chunk sizes for the sampled block-size sweep — the reference
+#: benchmarks sweep 200–200k (``benchmark/fix_int_benchmark.py:16-26``)
+#: because optimal CR genuinely moves with block size; we sweep the
+#: power-of-two band around the 65Ki default
+CHUNK_ROWS_CANDIDATES = (8192, 16384, 32768, 65536, 131072)
+
+#: approximate per-chunk per-column store overhead (one parquet struct row:
+#: codec name, zone map, sums, offsets) charged to each candidate so tiny
+#: chunks don't win on payload bytes alone
+_CHUNK_META_OVERHEAD = 48
+
+
+def tune_chunk_rows(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = (),
+    candidates: tuple[int, ...] = CHUNK_ROWS_CANDIDATES,
+    sample_rows: int = 1 << 17,
+) -> tuple[int, dict[int, int]]:
+    """Per-table block-size auto-tuner (``headers/search_hyper.h:14``
+    ``pick_block_size``, ``headers/search_blocksize.h``): encode a sampled
+    slice at every candidate chunk size with the job's OWN Arrow kernel and
+    keep the size with the smallest total compressed bytes.
+
+    Spark shape: ONE bounded ``limit(sample_rows)`` collect — driver work is
+    size-independent at any table scale (the reference samples random blocks
+    for the same reason) — then a local key-sort replays the kernel's
+    within-chunk order. Exact pricing, no extrapolation: the sample IS
+    encoded at each candidate. Returns ``(best_chunk_rows,
+    {candidate: total_bytes})``.
+    """
+    import pyarrow as pa
+
+    colspecs = colspecs_of(df)
+    pdf = df.limit(int(sample_rows)).toPandas()
+    if key_cols:
+        pdf = pdf.sort_values(list(key_cols), kind="stable").reset_index(drop=True)
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    n = tbl.num_rows
+    sizes: dict[int, int] = {}
+    for cand in candidates:
+        total = 0
+        for s in range(0, n, cand):
+            sl = tbl.slice(s, min(cand, n - s))
+            for name, logical in colspecs:
+                _, payload, _ = _encode_one_arrow(sl.column(name), logical)
+                total += len(payload) + _CHUNK_META_OVERHEAD
+        sizes[cand] = total
+    # ties break toward the LARGER chunk (fewer store rows, cheaper scans)
+    best = min(sizes, key=lambda c: (sizes[c], -c))
+    return best, sizes
+
+
 def _make_kernel(colspecs, chunk_rows, selection="exact"):
     """Arrow-native encode kernel (mapInArrow): RecordBatch slices are
     zero-copy, string columns never materialize as Python objects. Emits ONE
@@ -333,6 +385,7 @@ def _persist_or_validate_schema(
     num_parts: int | None,
     salt_block: int,
     default_parts: int,
+    chunk_rows: int | None = None,
 ) -> tuple[int, int]:
     """Resolve (num_parts, salt_block) against the persisted store schema.
 
@@ -342,9 +395,8 @@ def _persist_or_validate_schema(
     rows to different part ids (which would duplicate and drop rows on
     resume)."""
     path = schema_path(store)
-    if os.path.exists(path):
-        with open(path) as fh:
-            doc = json.load(fh)
+    doc = _load_schema_doc(store)
+    if doc is not None:
         if [list(cs) for cs in colspecs] != [list(cs) for cs in doc["colspecs"]]:
             raise ValueError(
                 f"store {store} schema mismatch: {doc['colspecs']} vs {colspecs}"
@@ -364,26 +416,36 @@ def _persist_or_validate_schema(
     resolved = default_parts if num_parts is None else num_parts
     os.makedirs(store, exist_ok=True)
     tmp = path + ".tmp"
+    doc = {
+        "colspecs": colspecs,
+        "key_cols": list(key_cols),
+        "num_parts": resolved,
+        "salt_block": salt_block,
+        "version": 2,
+    }
+    if chunk_rows is not None:
+        # lineage metadata: the (possibly auto-tuned) chunk size this store
+        # was first encoded with — re-encodes with chunk_rows="auto" reuse it
+        doc["chunk_rows"] = int(chunk_rows)
     with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "colspecs": colspecs,
-                "key_cols": list(key_cols),
-                "num_parts": resolved,
-                "salt_block": salt_block,
-                "version": 2,
-            },
-            fh,
-        )
+        json.dump(doc, fh)
     os.replace(tmp, path)
     return resolved, salt_block
+
+
+def _load_schema_doc(store: str) -> dict | None:
+    path = schema_path(store)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
 
 
 def encode_table(
     df: DataFrame,
     store: str,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    chunk_rows: int | str = DEFAULT_CHUNK_ROWS,
     num_parts: int | None = None,
     salt_block: int = 1 << 16,
     resume: bool = True,
@@ -414,6 +476,17 @@ def encode_table(
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     colspecs = colspecs_of(df)
+    tune_sizes: dict[int, int] | None = None
+    if chunk_rows == "auto":
+        # block-size auto-tuning (operator: pick_block_size): a resumed/
+        # appended store reuses its persisted choice — chunk sizing is part
+        # of the store's identity for reproducible re-encodes
+        stored = _load_schema_doc(store)
+        if stored is not None and "chunk_rows" in stored:
+            chunk_rows = int(stored["chunk_rows"])
+        else:
+            chunk_rows, tune_sizes = tune_chunk_rows(df, key_cols)
+    chunk_rows = int(chunk_rows)
     restore_conf: dict | None = None
     if presorted:
         # split sizing BEFORE resolving the split count — the count is the
@@ -429,7 +502,8 @@ def encode_table(
         # also mean finer resume granularity
         default_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     num_parts, salt_block = _persist_or_validate_schema(
-        store, colspecs, key_cols, num_parts, salt_block, default_parts
+        store, colspecs, key_cols, num_parts, salt_block, default_parts,
+        chunk_rows=chunk_rows,
     )
 
     if presorted:
@@ -508,6 +582,8 @@ def encode_table(
             "enc_bytes": st.enc,
             "ratio": (st.enc / st.raw) if st.raw else None,
             "committed": False,
+            "chunk_rows": chunk_rows,
+            **({"tune_sizes": tune_sizes} if tune_sizes else {}),
         }
     lineage.write.mode("append").parquet(lineage_current_dir(store))
 
@@ -527,4 +603,6 @@ def encode_table(
         "raw_bytes": stats.raw,
         "enc_bytes": stats.enc,
         "ratio": (stats.enc / stats.raw) if stats.raw else None,
+        "chunk_rows": chunk_rows,
+        **({"tune_sizes": tune_sizes} if tune_sizes else {}),
     }

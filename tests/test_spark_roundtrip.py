@@ -249,3 +249,49 @@ def test_filter_eq_string_pushdown(spark, store):
         )
     )
     pd.testing.assert_frame_equal(expect_t, got_t)
+
+
+def test_chunk_rows_auto_tuner(spark, tmp_path):
+    """Block-size auto-tuner (headers/search_hyper.h:14 pick_block_size +
+    headers/search_blocksize.h): chunk_rows="auto" sweeps the candidate
+    sizes on a bounded sample, picks the min-bytes size, persists the choice
+    in the store schema, and a resumed encode reuses it."""
+    import json
+
+    from learn_to_compress_spark.jobs.encode import (
+        CHUNK_ROWS_CANDIDATES,
+        tune_chunk_rows,
+    )
+
+    # regime-switching column: a fresh linear regime every ~6k rows means
+    # one 64Ki chunk mixes ~10 regimes (wide residuals) while 8Ki chunks
+    # track each regime — small chunks must win the sweep
+    rng = np.random.default_rng(7)
+    blocks = []
+    for r in range(20):
+        slope = float(rng.uniform(-50, 50))
+        base = float(rng.uniform(-1e9, 1e9))
+        x = np.arange(6000, dtype=np.float64)
+        blocks.append((base + slope * x + rng.normal(0, 2, 6000)).astype(np.int64))
+    vals = np.concatenate(blocks)
+    pdf = pd.DataFrame({"conv_id": ["c"] * vals.size, "turn_idx": np.arange(vals.size), "v": vals})
+    df = spark.createDataFrame(pdf)
+
+    best, sizes = tune_chunk_rows(df, ("conv_id", "turn_idx"), sample_rows=vals.size)
+    assert best in CHUNK_ROWS_CANDIDATES
+    assert best < 65536  # regime width ~6k: a 64Ki chunk can't be optimal
+    assert sizes[best] < sizes[65536]
+
+    # end-to-end: auto encode roundtrips, records the choice, resume reuses it
+    path = str(tmp_path / "auto_store")
+    m = encode_table(df, path, chunk_rows="auto", num_parts=4, salt_block=1 << 20)
+    assert m["chunk_rows"] == best
+    assert m["tune_sizes"][best] == sizes[best]
+    with open(f"{path}/_schema.json") as fh:
+        assert json.load(fh)["chunk_rows"] == best
+    dec = decode_table(spark, path).orderBy("turn_idx").toPandas()
+    assert (dec["v"].to_numpy() == vals).all()
+    # resume: no re-tune (no tune_sizes in metrics), same persisted size
+    m2 = encode_table(df, path, chunk_rows="auto", num_parts=4, salt_block=1 << 20)
+    assert m2["chunk_rows"] == best
+    assert "tune_sizes" not in m2
