@@ -52,6 +52,7 @@ def _store_for(
     table: str,
     selection: str = "exact",
     chunk_rows=None,
+    linked_cols: dict[str, str] | None = None,
 ) -> str:
     """Encode ``table`` into a cached chunk store (resume makes this a no-op
     when the store is already committed)."""
@@ -62,13 +63,15 @@ def _store_for(
 
     key = hashlib.sha1(
         f"{os.path.abspath(sf_dir)}::{table}::{selection}::{chunk_rows or ''}"
-        f"::{package_digest()}".encode()
+        f"::{linked_cols or ''}::{package_digest()}".encode()
     ).hexdigest()[:16]
     store = os.path.join(_STORE_ROOT, key, table)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     # testdata is small; 16 parts keeps tiny-table stages sane even under a
     # driver session with 200 default shuffle partitions
     kw = {} if chunk_rows is None else {"chunk_rows": chunk_rows}
+    if linked_cols is not None:
+        kw["linked_cols"] = linked_cols
     encode_table(
         df, store, key_cols=_KEYS[table], num_parts=16, resume=True,
         selection=selection, **kw,
@@ -301,6 +304,35 @@ def _forced_decode_query(table: str, cols: list[str], codec: str, check_col: str
     return fn
 
 
+def _linked_decode_query():
+    """Decode an events store encoded with ``linked_cols={"event_id": "ts"}``
+    (correlated-column compression). Asserts the linked codec actually won
+    chunks before returning rows, so the oracle match certifies the linked
+    decode path, not the independent race."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.chunkstore import col_field, read_chunks
+        from learn_to_compress_spark.jobs import decode_table
+
+        store = _store_for(
+            spark, sf_dir, "events", linked_cols={"event_id": "ts"}
+        )
+        used = {
+            r[0]
+            for r in read_chunks(
+                spark, store,
+                leaves=[F.col(f"{col_field('event_id')}.codec").alias("codec")],
+            )
+            .distinct()
+            .collect()
+        }
+        if "linked" not in used:
+            raise AssertionError(f"linked codec never won on events.event_id: {used}")
+        return decode_table(spark, store).select("event_id", "ts", "user_id", "value")
+
+    return fn
+
+
 def _tuned_decode_query():
     """Decode a store encoded with ``chunk_rows="auto"`` — the sampled
     block-size sweep (``headers/search_hyper.h:14`` ``pick_block_size``)
@@ -465,6 +497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the store's chunk size comes from a sampled candidate sweep instead
         # of the static default; oracle certifies the tuned store decodes
         "decode_lineitem_tuned": _tuned_decode_query(),
+        # correlated-column compression (group-correlation link,
+        # piecewise_cost_merge_integer_template_link_colcor.h:21): event_id
+        # is jumpy after the (user_id, ts) shuffle but linear in ts — the
+        # linked race must win and the store must decode bit-identically
+        "decode_events_linked": _linked_decode_query(),
         # streaming surface, batch twins (streaming/windows.py): the same
         # F.window plan the watermarked stream runs, and the converged state
         # of the stateful conversation-progress operator — both SQL-checkable
@@ -543,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
             "l_extendedprice FROM lineitem"
         ),
+        "decode_events_linked": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_compacted": "SELECT event_id, ts, user_id, value FROM events",
         "events_turns_per_window": (
             "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, "

@@ -48,7 +48,7 @@ def decode_column(payload: bytes, n: int, logical: str) -> pd.Series:
     return decode_int_column(payload, n, logical)
 
 
-def decode_column_arrow(payload: bytes, n: int, logical: str):
+def decode_column_arrow(payload: bytes, n: int, logical: str, companion=None):
     from ..select import (
         decode_double_column_arrow,
         decode_int_column_arrow,
@@ -59,7 +59,7 @@ def decode_column_arrow(payload: bytes, n: int, logical: str):
         return decode_string_column_arrow(payload, n)
     if logical == "double":
         return decode_double_column_arrow(payload, n)
-    return decode_int_column_arrow(payload, n, logical)
+    return decode_int_column_arrow(payload, n, logical, companion=companion)
 
 
 # Spark's Arrow bridge wants exact types: string (not large_string) and
@@ -93,6 +93,8 @@ def decode_table(
     strings never materialize as Python objects."""
     import pyarrow as pa
 
+    doc = load_store_schema(store)
+    all_logical = {cs[0]: cs[1] for cs in (tuple(c) for c in doc["colspecs"])}
     colspecs, _key_cols = load_schema(store)
     if columns is not None:
         colspecs = [cs for cs in colspecs if cs[0] in columns]
@@ -101,22 +103,35 @@ def decode_table(
     )
     logical_of = dict(colspecs)
     names = [n for n, _ in colspecs]
+    # linked (correlated-column) frames reference a companion column of the
+    # SAME chunk row: its payload leaf must ride along even when pruned out
+    linked = {
+        t: c for t, c in (doc.get("linked_cols") or {}).items() if t in names
+    }
+    extra = [c for c in dict.fromkeys(linked.values()) if c not in names]
+    read_names = names + extra
     pa_types = _pa_of_logical()
 
     def kernel(batches):
         for rb in batches:
             n_rows = rb.column(rb.schema.get_field_index("n_rows"))
-            payload_cols = [
-                rb.column(rb.schema.get_field_index(f"p_{name}")) for name in names
-            ]
+            pcols = {
+                name: rb.column(rb.schema.get_field_index(f"p_{name}"))
+                for name in read_names
+            }
             for i in range(rb.num_rows):
                 n = int(n_rows[i].as_py())
-                arrays = [
-                    decode_column_arrow(payload_cols[j][i].as_py(), n, logical_of[name]).cast(
-                        pa_types[logical_of[name]]
+                arrays = []
+                for name in names:
+                    comp = None
+                    if name in linked:
+                        cname = linked[name]
+                        comp = (pcols[cname][i].as_py(), all_logical[cname])
+                    arrays.append(
+                        decode_column_arrow(
+                            pcols[name][i].as_py(), n, logical_of[name], companion=comp
+                        ).cast(pa_types[logical_of[name]])
                     )
-                    for j, name in enumerate(names)
-                ]
                 yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     sel = read_chunks(
@@ -124,7 +139,7 @@ def decode_table(
         store,
         leaves=[
             F.col("n_rows"),
-            *[F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in names],
+            *[F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in read_names],
         ],
     )
     if parts is not None:

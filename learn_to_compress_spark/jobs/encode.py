@@ -214,14 +214,31 @@ def tune_chunk_rows(
     return best, sizes
 
 
-def _make_kernel(colspecs, chunk_rows, selection="exact"):
+def _i64_of_arrow(col, logical: str) -> np.ndarray:
+    """Dense signed-int64 domain of a null-free int/timestamp Arrow column
+    (µs since epoch for timestamps)."""
+    a = col.to_numpy(zero_copy_only=False)
+    if logical.startswith("timestamp"):
+        return a.astype("datetime64[us]").view(np.int64)
+    return a.astype(np.int64, copy=False)
+
+
+def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None):
     """Arrow-native encode kernel (mapInArrow): RecordBatch slices are
     zero-copy, string columns never materialize as Python objects. Emits ONE
     row per chunk — all column payloads of a chunk live in that row's
-    structs, so the read path needs no regrouping (and hence no shuffle)."""
+    structs, so the read path needs no regrouping (and hence no shuffle).
+
+    ``linked``: optional ``{target: companion}`` map (correlated-column
+    compression, ``piecewise_cost_merge_integer_template_link_colcor.h:21``):
+    after the independent race, each target chunk also races an encoding of
+    its residuals AGAINST the companion column; the smaller payload wins.
+    Skipped per-chunk when either column has nulls."""
     import pyarrow as pa
 
     arrow_schema = _arrow_chunk_schema(colspecs)
+    logical_of = dict(colspecs)
+    linked = dict(linked or {})
 
     def kernel(batches):
         seqs: dict[int, int] = {}
@@ -246,8 +263,11 @@ def _make_kernel(colspecs, chunk_rows, selection="exact"):
                         raise RuntimeError("chunk seq overflow; raise num_parts")
                     seqs[part_id] = seq + 1
                     chunk_raw = chunk_enc = 0
+                    chunk_cols: dict = {}
                     for name, logical in colspecs:
                         col = sl.column(sl.schema.get_field_index(name))
+                        if name in linked or name in linked.values():
+                            chunk_cols[name] = col
                         codec, payload, info = _encode_one_arrow(col, logical, selection)
                         d = per_col[name]
                         d["codec"].append(codec)
@@ -261,6 +281,22 @@ def _make_kernel(colspecs, chunk_rows, selection="exact"):
                         d["enc_bytes"].append(info["enc_bytes"])
                         chunk_raw += info["raw_bytes"]
                         chunk_enc += info["enc_bytes"]
+                    for tgt, comp in linked.items():
+                        yc, xc = chunk_cols[tgt], chunk_cols[comp]
+                        if yc.null_count or xc.null_count:
+                            continue  # linked frames require null-free chunks
+                        from ..select import encode_linked_framed
+
+                        framed = encode_linked_framed(
+                            _i64_of_arrow(yc, logical_of[tgt]),
+                            _i64_of_arrow(xc, logical_of[comp]),
+                        )
+                        d = per_col[tgt]
+                        if framed is not None and len(framed) < len(d["payload"][-1]):
+                            chunk_enc += len(framed) - d["enc_bytes"][-1]
+                            d["codec"][-1] = "linked"
+                            d["payload"][-1] = framed
+                            d["enc_bytes"][-1] = len(framed)
                     meta["part_id"].append(part_id)
                     meta["chunk_id"].append(part_id * MAX_CHUNKS_PER_PART + seq)
                     meta["n_rows"].append(len(sl))
@@ -386,6 +422,7 @@ def _persist_or_validate_schema(
     salt_block: int,
     default_parts: int,
     chunk_rows: int | None = None,
+    linked_cols: dict[str, str] | None = None,
 ) -> tuple[int, int]:
     """Resolve (num_parts, salt_block) against the persisted store schema.
 
@@ -427,6 +464,10 @@ def _persist_or_validate_schema(
         # lineage metadata: the (possibly auto-tuned) chunk size this store
         # was first encoded with — re-encodes with chunk_rows="auto" reuse it
         doc["chunk_rows"] = int(chunk_rows)
+    if linked_cols:
+        # readers MUST know the companion of a linked column to fetch its
+        # payload leaf alongside (decode_table / pushdown operators)
+        doc["linked_cols"] = dict(linked_cols)
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
     os.replace(tmp, path)
@@ -454,12 +495,20 @@ def encode_table(
     shuffle_width: int | None = None,
     presorted: bool = False,
     commit: bool = True,
+    linked_cols: dict[str, str] | None = None,
 ) -> dict:
     """Encode ``df`` into the chunk store; returns job metrics.
 
     ``key_cols``: (partition key, order keys...) — ``(conv_id, turn_idx)``
     for transcripts. All other columns ride along and are chunked in the
     same stable order.
+
+    ``linked_cols``: optional ``{target: companion}`` — correlated-column
+    compression (``piecewise_cost_merge_integer_template_link_colcor.h:21``):
+    each target chunk races an encoding of its residuals against the
+    companion column (both must be int/timestamp; a companion cannot itself
+    be a target). The map is persisted in ``_schema.json`` — readers need it
+    to fetch the companion payload leaf — and reused on resume.
 
     ``presorted=True`` is the locality fast path for inputs that are ALREADY
     clustered by the keys (the common shape for transcript tables: writers
@@ -476,6 +525,23 @@ def encode_table(
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     colspecs = colspecs_of(df)
+    logical_of = dict(colspecs)
+    stored_doc = _load_schema_doc(store)
+    if linked_cols is None and stored_doc is not None:
+        linked_cols = stored_doc.get("linked_cols")  # resume reuses the map
+    if linked_cols:
+        intish = {"int32", "int64", "timestamp_us", "timestamp_ntz_us"}
+        for tgt, comp in linked_cols.items():
+            if tgt == comp or tgt not in logical_of or comp not in logical_of:
+                raise ValueError(f"linked_cols: bad pair {tgt!r} -> {comp!r}")
+            if logical_of[tgt] not in intish or logical_of[comp] not in intish:
+                raise ValueError(
+                    f"linked_cols: {tgt!r}/{comp!r} must be int/timestamp columns"
+                )
+            if comp in linked_cols:
+                raise ValueError(
+                    f"linked_cols: companion {comp!r} cannot itself be a target"
+                )
     tune_sizes: dict[int, int] | None = None
     if chunk_rows == "auto":
         # block-size auto-tuning (operator: pick_block_size): a resumed/
@@ -503,7 +569,7 @@ def encode_table(
         default_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     num_parts, salt_block = _persist_or_validate_schema(
         store, colspecs, key_cols, num_parts, salt_block, default_parts,
-        chunk_rows=chunk_rows,
+        chunk_rows=chunk_rows, linked_cols=linked_cols,
     )
 
     if presorted:
@@ -528,7 +594,8 @@ def encode_table(
         # narrow plan: the filter preserves the scan partitioning, and each
         # task sees exactly one _part_id, so chunk seq counters stay unique
         encoded = work.mapInArrow(
-            _make_kernel(colspecs, chunk_rows, selection), schema=chunk_schema(colspecs)
+            _make_kernel(colspecs, chunk_rows, selection, linked_cols),
+            schema=chunk_schema(colspecs),
         )
     else:
         if shuffle_width is None:
@@ -536,7 +603,10 @@ def encode_table(
         encoded = (
             work.repartition(shuffle_width, "_part_id")
             .sortWithinPartitions("_part_id", *key_cols)
-            .mapInArrow(_make_kernel(colspecs, chunk_rows, selection), schema=chunk_schema(colspecs))
+            .mapInArrow(
+                _make_kernel(colspecs, chunk_rows, selection, linked_cols),
+                schema=chunk_schema(colspecs),
+            )
         )
     # per-run partition directory (Hive-style): readers discover ``run_id``
     # as a partition column, the lineage metrics job lists ONLY this run's

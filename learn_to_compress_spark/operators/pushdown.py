@@ -69,21 +69,31 @@ def sum_column_kernel(spark: SparkSession, store: str, column: str) -> DataFrame
     ``headers/piecewise_fix_op.h:167-284``) — kept alongside the
     metadata-only :func:`sum_column` as the parity path and as the
     cross-check that ``vsum`` metadata is consistent with the payloads."""
+    from ..chunkstore import load_store_schema
+
     colspecs, _ = load_schema(store)
     logical = dict(colspecs)[column]
-    sel = read_chunks(
-        spark,
-        store,
-        leaves=[F.col("n_rows"), F.col(f"{col_field(column)}.payload").alias("payload")],
-    )
+    # linked columns need the companion payload leaf for the decode fallback
+    comp_name = (load_store_schema(store).get("linked_cols") or {}).get(column)
+    comp_logical = dict(colspecs).get(comp_name)
+    leaves = [F.col("n_rows"), F.col(f"{col_field(column)}.payload").alias("payload")]
+    if comp_name:
+        leaves.append(F.col(f"{col_field(comp_name)}.payload").alias("comp"))
+    sel = read_chunks(spark, store, leaves=leaves)
 
     from decimal import Decimal
 
     def kernel(batches):
         for pdf in batches:
+            comps = pdf["comp"] if comp_name else [None] * len(pdf)
             sums = [
-                Decimal(column_sum(bytes(p), int(n), logical))
-                for p, n in zip(pdf["payload"], pdf["n_rows"])
+                Decimal(
+                    column_sum(
+                        bytes(p), int(n), logical,
+                        companion=(bytes(c), comp_logical) if c is not None else None,
+                    )
+                )
+                for p, n, c in zip(pdf["payload"], pdf["n_rows"], comps)
             ]
             yield pd.DataFrame({"partial": sums})
 
@@ -118,11 +128,18 @@ def _gather_table(
     per-chunk record batches."""
     import pyarrow as pa
 
+    from ..chunkstore import load_store_schema
+
+    doc = load_store_schema(store)
     colspecs, _ = load_schema(store)
     logical_of = dict(colspecs)
     need = list(dict.fromkeys([key_col, *out_cols]))
+    # linked (correlated-column) frames reference a companion column of the
+    # same chunk row — its payload leaf rides along for any linked column
+    linked = {t: c for t, c in (doc.get("linked_cols") or {}).items() if t in need}
+    read_cols = list(dict.fromkeys(need + list(linked.values())))
     leaves = [F.col("n_rows")] + [
-        F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in need
+        F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in read_cols
     ]
     zone_leaves = []
     if prune is not None:
@@ -143,10 +160,21 @@ def _gather_table(
     def kernel(batches):
         for rb in batches:
             n_rows = rb.column(rb.schema.get_field_index("n_rows"))
-            pcols = {n: rb.column(rb.schema.get_field_index(f"p_{n}")) for n in need}
+            pcols = {
+                n: rb.column(rb.schema.get_field_index(f"p_{n}")) for n in read_cols
+            }
+
+            def comp_of(name, i):
+                cname = linked.get(name)
+                if cname is None:
+                    return None
+                return (pcols[cname][i].as_py(), logical_of[cname])
+
             for i in range(rb.num_rows):
                 n = int(n_rows[i].as_py())
-                pos = pos_fn(pcols[key_col][i].as_py(), n, key_logical)
+                pos = pos_fn(
+                    pcols[key_col][i].as_py(), n, key_logical, comp_of(key_col, i)
+                )
                 arrays = []
                 for name in out_cols:
                     lg = logical_of[name]
@@ -160,7 +188,9 @@ def _gather_table(
                             pa.array(pos, type=pa.int64())
                         )
                     else:
-                        ser = column_gather(payload, n, lg, pos)
+                        ser = column_gather(
+                            payload, n, lg, pos, companion=comp_of(name, i)
+                        )
                         arr = pa.Array.from_pandas(ser)
                     arrays.append(arr.cast(pa_types[lg]))
                 yield pa.RecordBatch.from_arrays(arrays, names=out_cols)
@@ -192,8 +222,8 @@ def filter_gt_table(
     zmax = F.col("_zmax")
     prune = zmax.isNull() | (zmax > F.lit(v))
 
-    def pos_fn(payload, n, logical):
-        return column_filter_gt(bytes(payload), n, logical, v)
+    def pos_fn(payload, n, logical, companion):
+        return column_filter_gt(bytes(payload), n, logical, v, companion=companion)
 
     return _gather_table(spark, store, column, out_cols, pos_fn, prune)
 
@@ -224,7 +254,7 @@ def filter_eq_string_table(
         zmax.isNull() | (zmax >= F.lit(value))
     )
 
-    def pos_fn(payload, n, logical):
+    def pos_fn(payload, n, logical, companion):
         return column_positions_eq_string(bytes(payload), n, needle)
 
     return _gather_table(
@@ -260,7 +290,7 @@ def filter_gt_string_table(
     cmp = (zmax > F.lit(value)) if strict else (zmax >= F.lit(value))
     prune = zmax.isNull() | cmp
 
-    def pos_fn(payload, n, logical):
+    def pos_fn(payload, n, logical, companion):
         return column_positions_gt_string(bytes(payload), n, needle, strict)
 
     return _gather_table(
@@ -291,7 +321,7 @@ def filter_prefix_string_table(
         except UnicodeDecodeError:
             pass
 
-    def pos_fn(payload, n, logical):
+    def pos_fn(payload, n, logical, companion):
         return column_positions_prefix_string(bytes(payload), n, p)
 
     return _gather_table(
@@ -316,10 +346,10 @@ def lookup_eq_table(
     zmin, zmax = F.col("_zmin"), F.col("_zmax")
     prune = (zmin.isNull() | (zmin <= F.lit(v))) & (zmax.isNull() | (zmax >= F.lit(v)))
 
-    def pos_fn(payload, n, logical):
+    def pos_fn(payload, n, logical, companion):
         payload = bytes(payload)
-        cand = column_filter_gt(payload, n, logical, v - 1)
-        vals = column_gather(payload, n, logical, cand)
+        cand = column_filter_gt(payload, n, logical, v - 1, companion=companion)
+        vals = column_gather(payload, n, logical, cand, companion=companion)
         vals64 = (
             vals.to_numpy().astype("datetime64[us]").view("int64")
             if logical.startswith("timestamp")
@@ -346,8 +376,8 @@ def filter_mod_band_table(
     touches only slots whose prediction window intersects a band period,
     falling back to a single full decode for codecs without a model."""
 
-    def pos_fn(payload, n, logical):
-        return column_filter_mod_band(bytes(payload), n, logical, base, lo, hi)
+    def pos_fn(payload, n, logical, companion):
+        return column_filter_mod_band(bytes(payload), n, logical, base, lo, hi, companion=companion)
 
     return _gather_table(spark, store, column, out_cols, pos_fn)
 
@@ -374,8 +404,8 @@ def select_bitmap_table(
     """
     from ..select import column_decode_i64
 
-    def pos_fn(payload, n, logical):
-        v64, valid = column_decode_i64(bytes(payload), n, logical)
+    def pos_fn(payload, n, logical, companion):
+        v64, valid = column_decode_i64(bytes(payload), n, logical, companion=companion)
         pos_dense = np.flatnonzero(v64 % base == rem)
         if valid is not None:
             return np.flatnonzero(valid)[pos_dense]

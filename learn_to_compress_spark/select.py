@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from .codecs import CODEC_IDS, CODEC_NAMES, int_candidates, int_codec
+from .codecs import strings_outlier as _strings_outlier  # noqa: F401 — registers the outlier rung
 from .codecs import strings_wide as _strings_wide  # noqa: F401 — registers the wide rung
 from .codecs.strings import (
     STRING_CODEC_CLASSES,
@@ -50,6 +51,7 @@ STRING_CODEC_IDS = {
     "word_dict": 19,
     "leco_str": 20,
     "leco_str_wide": 21,
+    "leco_str_outlier": 22,
 }
 STRING_CODEC_NAMES = {v: k for k, v in STRING_CODEC_IDS.items()}
 
@@ -185,7 +187,7 @@ def encode_int_values(
         name = "raw"
     elif selection.startswith("force:"):
         name = selection[6:]
-        if name not in CODEC_IDS:
+        if name not in CODEC_IDS or name in ("linked", "fsst"):
             raise ValueError(f"force: unknown int codec {name!r}")
     elif selection == "learned":
         from .learned import pick_int_codec_learned
@@ -281,7 +283,7 @@ def _read_validity(payload: bytes, n: int, flags: int, off: int):
     return valid, int(valid.sum()), off + nb
 
 
-def decode_int_column(payload: bytes, n: int, logical: str):
+def decode_int_column(payload: bytes, n: int, logical: str, companion=None):
     udtype = np.dtype(_UNSIGNED_OF[logical])
     width = udtype.itemsize * 8
     stype = np.dtype(np.int32) if width == 32 else np.dtype(np.int64)
@@ -289,11 +291,12 @@ def decode_int_column(payload: bytes, n: int, logical: str):
     valid, n_valid, off = _read_validity(payload, n, flags, 1)
     name = CODEC_NAMES[payload[off]]
     off += 1
-    vals = (
-        int_codec(name, udtype).decode(payload[off:], n_valid)
-        if n_valid
-        else np.empty(0, dtype=udtype)
-    )
+    if not n_valid:
+        vals = np.empty(0, dtype=udtype)
+    elif name == "linked":
+        vals = _linked_unsigned(payload[off:], n_valid, udtype, companion)
+    else:
+        vals = int_codec(name, udtype).decode(payload[off:], n_valid)
     if flags & _FLAG_SIGNFLIP:
         vals = vals ^ udtype.type(1 << (width - 1))
     signed = vals.view(stype)
@@ -326,6 +329,14 @@ def _pick_string_codec(arr) -> str:
 
         if LecoStringWideCodec.eligible(arr):
             cands.append(LecoStringWideCodec())
+        else:
+            # outlier-detect rung (string exception list,
+            # piecewise_fix_string_outlier_detect.h): a long tail kicked the
+            # block off both rungs — strip ≤n/32 outliers and re-check
+            from .codecs.strings_outlier import LecoStringOutlierCodec
+
+            if LecoStringOutlierCodec.eligible(arr):
+                cands.append(LecoStringOutlierCodec())
     n = len(arr)
     if n <= 2048:
         sizes = {c.name: len(c.encode(arr)) for c in cands}
@@ -335,7 +346,16 @@ def _pick_string_codec(arr) -> str:
 
         sample = pc.take(arr, pa.array(pos))
         scale = n / len(sample)
-        sizes = {c.name: len(c.encode(sample)) * scale for c in cands}
+        sizes = {}
+        for c in cands:
+            try:
+                sizes[c.name] = len(c.encode(sample)) * scale
+            except ValueError:
+                # plan-gated codecs (LeCo rungs / outlier) can be eligible on
+                # the full chunk but not on the sample — skip, don't crash
+                continue
+        if not sizes:
+            return "str_raw"
     return min(sizes, key=sizes.get)
 
 
@@ -361,9 +381,9 @@ def encode_string_column_arrow(arr, selection: str = "exact") -> tuple[str, byte
         name = selection[6:]
         if name not in STRING_CODEC_IDS:
             raise ValueError(f"force: unknown string codec {name!r}")
-        if name in ("leco_str", "leco_str_wide") and not STRING_CODEC_CLASSES[
-            name
-        ].eligible(nonnull):
+        if name in (
+            "leco_str", "leco_str_wide", "leco_str_outlier"
+        ) and not STRING_CODEC_CLASSES[name].eligible(nonnull):
             name = _pick_string_codec(nonnull)
     else:
         name = _pick_string_codec(nonnull)
@@ -407,6 +427,81 @@ def decode_string_column(payload: bytes, n: int) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# linked (correlated-column) framing — operator: group-correlation encoding
+# (``headers/piecewise_cost_merge_integer_template_link_colcor.h:21``; see
+# codecs/linked.py for the full design note)
+# ---------------------------------------------------------------------------
+
+_LINKED_HDR = struct.Struct("<ddd")  # x0, t0, t1
+
+
+def encode_linked_framed(y64: np.ndarray, x64: np.ndarray) -> bytes | None:
+    """Full framed payload of ``y`` encoded relative to companion ``x``
+    (both dense signed-int64 domain, null-free), or None when linking is
+    unusable (constant companion / uncastable predictions / tiny chunk).
+
+    ``pred = trunc(t0 + t1·(float(x) − x0))`` with ``x0 = mean(x)`` — the
+    centered form keeps the LS fit and the prediction numerically sane at
+    µs-timestamp magnitudes. Residuals are wrapping int64 (modular
+    arithmetic keeps decode exact even if ``y − pred`` wraps)."""
+    n = y64.size
+    if n < 8 or x64.size != n:
+        return None
+    xf = x64.astype(np.float64)
+    x0 = float(xf.mean())
+    xc = xf - x0
+    varx = float((xc * xc).sum())
+    if varx == 0.0 or not np.isfinite(varx):
+        return None
+    yf = y64.astype(np.float64)
+    t1 = float((xc * (yf - yf.mean())).sum()) / varx
+    t0 = float(yf.mean())
+    if not (np.isfinite(t0) and np.isfinite(t1)):
+        return None
+    predf = t0 + t1 * xc
+    from .codecs.base import preds_castable
+
+    if not preds_castable(predf):
+        return None
+    resid = y64 - predf.astype(np.int64)  # wrapping int64 — see module note
+    _name, framed_resid = encode_int_values(resid, None, "int64")
+    return (
+        bytes([0, CODEC_IDS["linked"]])
+        + _LINKED_HDR.pack(x0, t0, t1)
+        + framed_resid
+    )
+
+
+def _linked_decode_signed(sub: bytes, n: int, companion) -> np.ndarray:
+    """Dense signed-int64 values of a linked column. ``sub`` is the payload
+    after ``flags | codec_id``; ``companion`` is ``(framed_payload, logical)``
+    of the companion column for the SAME chunk."""
+    if companion is None:
+        raise ValueError(
+            "linked payload needs its companion column — pass companion="
+            "(payload, logical); the store schema's linked_cols names it"
+        )
+    x0, t0, t1 = _LINKED_HDR.unpack_from(sub, 0)
+    comp_payload, comp_logical = companion
+    x64, valid = column_decode_i64(bytes(comp_payload), n, comp_logical)
+    if valid is not None:
+        raise ValueError("linked companion chunk must be null-free")
+    r64, rvalid = column_decode_i64(sub[_LINKED_HDR.size :], n, "int64")
+    assert rvalid is None
+    pred = (t0 + t1 * (x64.astype(np.float64) - x0)).astype(np.int64)
+    return pred + r64  # wrapping int64: (y − p) + p ≡ y (mod 2^64)
+
+
+def _linked_unsigned(sub: bytes, n: int, udtype: np.dtype, companion) -> np.ndarray:
+    """Linked decode presented in the framing's unsigned bit-pattern domain
+    (linked frames always carry flags=0: no sign-flip, no nulls)."""
+    signed64 = _linked_decode_signed(sub, n, companion)
+    if udtype.itemsize == 4:
+        return signed64.astype(np.int32).view(np.uint32)
+    return signed64.view(np.uint64)
+
+
+# ---------------------------------------------------------------------------
 # pushdown entry points over framed int payloads (SUM / filter / gather
 # without materializing the column — ``headers/piecewise_fix_op.h:167-284``,
 # ``piecewise_fix_integer_template.h:206-252``, ``experiments/test_bitmap.cpp``)
@@ -421,12 +516,17 @@ def _int_frame(payload: bytes, n: int, logical: str):
     return flags, valid, n_valid, codec, payload[off + 1 :], udtype
 
 
-def column_sum(payload: bytes, n: int, logical: str) -> int:
+def column_sum(payload: bytes, n: int, logical: str, companion=None) -> int:
     """Exact SUM of a framed int/timestamp column (timestamps: µs since epoch),
     computed from the compressed payload via the codec's sum pushdown."""
     flags, _valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
     if n_valid == 0:
         return 0
+    if codec.name == "linked":
+        v64 = _linked_decode_signed(sub, n_valid, companion)
+        hi = int((v64 >> np.int64(32)).sum(dtype=np.int64))
+        lo = int((v64 & np.int64(0xFFFFFFFF)).sum(dtype=np.int64))
+        return (hi << 32) + lo  # linked frames carry no sign-flip
     total = codec.sum(sub, n_valid)
     if flags & _FLAG_SIGNFLIP:
         total -= n_valid * (1 << (udtype.itemsize * 8 - 1))
@@ -437,13 +537,26 @@ def column_sum(payload: bytes, n: int, logical: str) -> int:
     return total
 
 
-def column_filter_gt(payload: bytes, n: int, logical: str, v: int) -> np.ndarray:
+def column_filter_gt(
+    payload: bytes, n: int, logical: str, v: int, companion=None
+) -> np.ndarray:
     """Row positions where column > v (v in the column's signed domain;
     timestamps in µs). Nulls never match. Uses the codec's model-inversion /
     zone pushdown."""
     flags, valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
     if n_valid == 0:
         return np.empty(0, dtype=np.int64)
+    if codec.name == "linked":  # decode-and-compare in the signed domain
+        if int(v) >= 2**63 - 1:  # nothing can exceed signed max
+            return np.empty(0, dtype=np.int64)
+        if int(v) < -(2**63):  # below the domain: every row qualifies
+            pos = np.arange(n_valid, dtype=np.int64)
+        else:
+            v64 = _linked_decode_signed(sub, n_valid, companion)
+            pos = np.flatnonzero(v64 > np.int64(v))
+        if valid is not None:
+            pos = np.flatnonzero(valid)[pos]
+        return pos
     width = udtype.itemsize * 8
     # clamp thresholds outside the stored domain BEFORE handing v to the
     # codec: codecs compare in their unsigned dtype, where a negative v
@@ -466,10 +579,12 @@ def column_filter_gt(payload: bytes, n: int, logical: str, v: int) -> np.ndarray
     return pos
 
 
-def column_decode_i64(payload: bytes, n: int, logical: str):
+def column_decode_i64(payload: bytes, n: int, logical: str, companion=None):
     """(dense signed-domain int64 values at non-null slots, validity mask or
     None). Timestamps come back as µs since epoch."""
     flags, valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
+    if codec.name == "linked" and n_valid:
+        return _linked_decode_signed(sub, n_valid, companion), valid
     vals = codec.decode(sub, n_valid) if n_valid else np.empty(0, dtype=udtype)
     if flags & _FLAG_SIGNFLIP:
         vals = vals ^ udtype.type(1 << (udtype.itemsize * 8 - 1))
@@ -483,7 +598,7 @@ MOD_BAND_STATS = {"slots_total": 0, "slots_decoded": 0}
 
 
 def column_filter_mod_band(
-    payload: bytes, n: int, logical: str, base: int, lo: int, hi: int
+    payload: bytes, n: int, logical: str, base: int, lo: int, hi: int, companion=None
 ) -> np.ndarray:
     """Row positions where ``lo < value % base < hi`` (signed domain; µs for
     timestamps). Nulls never match.
@@ -506,12 +621,15 @@ def column_filter_mod_band(
             MOD_BAND_STATS["slots_decoded"] += int(n_decoded)
     if pos is None:
         MOD_BAND_STATS["slots_decoded"] += n_valid
-        vals = codec.decode(sub, n_valid)
-        if flags & _FLAG_SIGNFLIP:
-            vals = vals ^ udtype.type(1 << (udtype.itemsize * 8 - 1))
-        v64 = vals.view(np.int32 if udtype.itemsize == 4 else np.int64).astype(
-            np.int64, copy=False
-        )
+        if codec.name == "linked":
+            v64 = _linked_decode_signed(sub, n_valid, companion)
+        else:
+            vals = codec.decode(sub, n_valid)
+            if flags & _FLAG_SIGNFLIP:
+                vals = vals ^ udtype.type(1 << (udtype.itemsize * 8 - 1))
+            v64 = vals.view(np.int32 if udtype.itemsize == 4 else np.int64).astype(
+                np.int64, copy=False
+            )
         rem = v64 % base
         pos = np.flatnonzero((rem > lo) & (rem < hi))
     if valid is not None:
@@ -519,15 +637,19 @@ def column_filter_mod_band(
     return pos
 
 
-def column_gather(payload: bytes, n: int, logical: str, positions: np.ndarray):
+def column_gather(payload: bytes, n: int, logical: str, positions: np.ndarray, companion=None):
     """Values at row positions (selective decode under a position list,
     ``experiments/test_bitmap.cpp:116-129``). Density-adaptive: point gather
     for sparse lists, full decode above the ~0.2 density threshold the
     reference measured (``test_bitmap.cpp:131-165``)."""
     positions = np.asarray(positions, dtype=np.int64)
     flags, valid, n_valid, codec, sub, udtype = _int_frame(payload, n, logical)
-    if valid is not None or (n and len(positions) / n > 0.2):
-        return decode_int_column(payload, n, logical).iloc[positions].reset_index(drop=True)
+    if valid is not None or codec.name == "linked" or (n and len(positions) / n > 0.2):
+        return (
+            decode_int_column(payload, n, logical, companion=companion)
+            .iloc[positions]
+            .reset_index(drop=True)
+        )
     vals = codec.gather(sub, positions, n_valid)
     if flags & _FLAG_SIGNFLIP:
         vals = vals ^ udtype.type(1 << (udtype.itemsize * 8 - 1))
@@ -566,7 +688,7 @@ def column_gather_string_arrow(payload: bytes, n: int, positions: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def decode_int_column_arrow(payload: bytes, n: int, logical: str):
+def decode_int_column_arrow(payload: bytes, n: int, logical: str, companion=None):
     import pyarrow as pa
 
     udtype = np.dtype(_UNSIGNED_OF[logical])
@@ -576,11 +698,12 @@ def decode_int_column_arrow(payload: bytes, n: int, logical: str):
     valid, n_valid, off = _read_validity(payload, n, flags, 1)
     name = CODEC_NAMES[payload[off]]
     off += 1
-    vals = (
-        int_codec(name, udtype).decode(payload[off:], n_valid)
-        if n_valid
-        else np.empty(0, dtype=udtype)
-    )
+    if not n_valid:
+        vals = np.empty(0, dtype=udtype)
+    elif name == "linked":
+        vals = _linked_unsigned(payload[off:], n_valid, udtype, companion)
+    else:
+        vals = int_codec(name, udtype).decode(payload[off:], n_valid)
     if flags & _FLAG_SIGNFLIP:
         vals = vals ^ udtype.type(1 << (width - 1))
     signed = vals.view(stype)

@@ -66,7 +66,9 @@ def fixtures_u64():
     return {"poisson_ts": poisson_ts, "random64": rand}
 
 
-ALL_CODECS = list(INT_CODEC_CLASSES)
+# "linked" is framing-level (needs a companion column) — covered by its own
+# property test and the Spark end-to-end test, not the single-column protocol
+ALL_CODECS = [c for c in INT_CODEC_CLASSES if c != "linked"]
 
 
 @pytest.mark.parametrize("codec_name", ALL_CODECS)
@@ -986,3 +988,55 @@ def test_leco_string_sparse_gather():
         for pos in [np.array([0]), np.array([7, 3, 3, len(data) - 1, 0]), np.arange(0, len(data), 13)]:
             got = [bytes(x) for x in codec.gather(payload, pos, len(data)).to_pylist()]
             assert got == [data[i] for i in pos], type(codec).__name__
+
+
+def test_leco_string_outlier_codec():
+    """String exception list (piecewise_fix_string_outlier_detect.h): a few
+    very long rows must not inflate the rung's padded width — the outlier
+    codec strips them, models the inliers, and WINS the race on this shape."""
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings_outlier import LecoStringOutlierCodec
+    from learn_to_compress_spark.select import (
+        decode_string_column,
+        encode_string_column_arrow,
+    )
+
+    rows = [b"id-%06d" % i for i in range(2000)]
+    long = b"X" * 400
+    for k in range(0, 2000, 211):  # ~10 outliers scattered through the block
+        rows[k] = long + b"-%d" % k
+    arr = pa.array(rows, type=pa.large_binary())
+
+    codec = LecoStringOutlierCodec()
+    assert codec.eligible(arr)
+    payload = codec.encode(arr)
+    out = codec.decode(payload, len(rows))
+    assert out.to_pylist() == rows
+    # CR win: the stripped block beats every non-rung codec on this shape
+    from learn_to_compress_spark.codecs.strings import (
+        DictStringCodec,
+        FsstStringCodec,
+        StrRawCodec,
+    )
+
+    others = {
+        c.name: len(c.encode(arr))
+        for c in (DictStringCodec(), FsstStringCodec(), StrRawCodec())
+    }
+    assert len(payload) < min(others.values()), (len(payload), others)
+
+    # framing race picks it end-to-end (valid UTF-8 variant) and roundtrips
+    urows = pa.array(
+        [r.decode() for r in rows], type=pa.large_string()
+    ).cast(pa.large_binary())
+    name, framed = encode_string_column_arrow(urows)
+    assert name == "leco_str_outlier"
+    got = decode_string_column(framed, len(rows))
+    assert list(got) == [r.decode() for r in rows]
+    # forced seam: pin it explicitly; ineligible block falls back
+    name2, framed2 = encode_string_column_arrow(urows, "force:leco_str_outlier")
+    assert name2 == "leco_str_outlier"
+    uniform = pa.array(["abc"] * 100, type=pa.large_string()).cast(pa.large_binary())
+    name3, _ = encode_string_column_arrow(uniform, "force:leco_str_outlier")
+    assert name3 != "leco_str_outlier"

@@ -19,7 +19,9 @@ from hypothesis import strategies as st
 from learn_to_compress_spark.codecs import INT_CODEC_CLASSES, int_codec
 
 SLOW = {"leco_var_dp"}  # O(window³) encode: fewer examples below
-FAST_CODECS = sorted(set(INT_CODEC_CLASSES) - SLOW)
+# "linked" is a framing-level codec (needs a companion column); it has its
+# own property test below and cannot run the single-column protocol
+FAST_CODECS = sorted(set(INT_CODEC_CLASSES) - SLOW - {"linked"})
 
 
 def _arrays(draw, min_size=1, max_size=400):
@@ -364,3 +366,83 @@ def test_string_prefix_filter_property(data):
     enc = [r.encode("utf-8") for r in rows]
     want = np.array([i for i, r in enumerate(enc) if r.startswith(prefix)], dtype=np.int64)
     np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_linked_framing_roundtrip_property(data):
+    """Linked (correlated-column) framing: for ANY int64 target/companion
+    pair — extreme magnitudes, wrap-prone residuals, anti-correlated,
+    constant companions — either the link is refused (None) or the framed
+    payload decodes bit-identically through every reader entry point."""
+    from learn_to_compress_spark.select import (
+        column_decode_i64,
+        column_filter_gt,
+        column_sum,
+        decode_int_column,
+        encode_int_values,
+        encode_linked_framed,
+    )
+
+    n = data.draw(st.integers(min_value=1, max_value=400))
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    mode = data.draw(st.sampled_from(["correlated", "noisy", "random", "extreme"]))
+    x = np.array(data.draw(st.lists(i64, min_size=n, max_size=n)), dtype=np.int64)
+    if mode == "correlated":
+        x = np.sort(np.abs(x) % (1 << 40))
+        y = (x * 3 + 17).astype(np.int64)
+    elif mode == "noisy":
+        x = np.abs(x) % (1 << 30)
+        y = x + np.array(
+            data.draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n)),
+            dtype=np.int64,
+        )
+    elif mode == "extreme":
+        y = np.array(data.draw(st.lists(i64, min_size=n, max_size=n)), dtype=np.int64)
+    else:
+        y = np.array(data.draw(st.lists(i64, min_size=n, max_size=n)), dtype=np.int64)
+
+    framed = encode_linked_framed(y, x)
+    if framed is None:
+        return  # link refused (tiny/constant/uncastable) — independent path
+    _, comp = encode_int_values(x.copy(), None, "int64")
+    ctx = (comp, "int64")
+    out = decode_int_column(framed, n, "int64", companion=ctx)
+    np.testing.assert_array_equal(out.to_numpy(), y)
+    v64, valid = column_decode_i64(framed, n, "int64", companion=ctx)
+    assert valid is None
+    np.testing.assert_array_equal(v64, y)
+    v = int(data.draw(i64))
+    np.testing.assert_array_equal(
+        column_filter_gt(framed, n, "int64", v, companion=ctx), np.flatnonzero(y > v)
+    )
+    assert column_sum(framed, n, "int64", companion=ctx) == int(y.sum(dtype=object))
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_leco_string_outlier_roundtrip_property(data):
+    """String outlier-detect rung: for skewed-length ID blocks with a random
+    long tail, the codec is either refused or roundtrips bit-identically
+    (framing level, so the exception merge and rung dispatch are covered)."""
+    import pyarrow as pa
+
+    from learn_to_compress_spark.codecs.strings_outlier import LecoStringOutlierCodec
+
+    n = data.draw(st.integers(min_value=32, max_value=600))
+    width = data.draw(st.integers(min_value=4, max_value=20))
+    rows = [b"k%0*d" % (width, i * 7) for i in range(n)]
+    n_out = data.draw(st.integers(min_value=0, max_value=max(1, n // 40)))
+    out_idx = data.draw(
+        st.lists(st.integers(0, n - 1), min_size=n_out, max_size=n_out, unique=True)
+    )
+    for k in out_idx:
+        rows[k] = bytes(
+            data.draw(st.binary(min_size=width + 50, max_size=width + 300))
+        )
+    arr = pa.array(rows, type=pa.large_binary())
+    codec = LecoStringOutlierCodec()
+    if not codec.eligible(arr):
+        return
+    payload = codec.encode(arr)
+    assert codec.decode(payload, n).to_pylist() == rows

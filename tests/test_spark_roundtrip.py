@@ -295,3 +295,77 @@ def test_chunk_rows_auto_tuner(spark, tmp_path):
     m2 = encode_table(df, path, chunk_rows="auto", num_parts=4, salt_block=1 << 20)
     assert m2["chunk_rows"] == best
     assert "tune_sizes" not in m2
+
+
+def test_linked_correlated_column_encode(spark, tmp_path):
+    """Correlated-column compression (operator: group-correlation link,
+    piecewise_cost_merge_integer_template_link_colcor.h:21): a column that is
+    jumpy in chunk order but linear in a companion must win the linked race,
+    roundtrip bit-identically, and answer every pushdown operator."""
+    from learn_to_compress_spark.chunkstore import read_chunks
+    from learn_to_compress_spark.operators import (
+        filter_gt_table,
+        lookup_eq_table,
+        select_bitmap_table,
+        sum_column,
+        sum_column_kernel,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    ts = np.sort(rng.integers(1_700_000_000_000_000, 1_701_000_000_000_000, n))
+    # seq is linear in ts (a global sequence number) + small noise — after
+    # the salted (user_id, ts) shuffle it is jumpy in slot order
+    seq = (1000 + (ts - ts[0]) // 50_000_000).astype(np.int64) + rng.integers(-3, 4, n)
+    user = rng.integers(0, 50, n)
+    pdf = pd.DataFrame({"user_id": user, "ts": pd.to_datetime(ts, unit="us"), "seq": seq})
+    df = spark.createDataFrame(pdf)
+
+    path = str(tmp_path / "linked_store")
+    m = encode_table(
+        df, path, key_cols=("user_id", "ts"), chunk_rows=CHUNK_ROWS, num_parts=4,
+        salt_block=1 << 20, linked_cols={"seq": "ts"},
+    )
+    # the linked codec must actually win on this shape
+    codecs = {
+        r[0]
+        for r in read_chunks(spark, path, leaves=[F.col("c_seq.codec").alias("c")])
+        .distinct()
+        .collect()
+    }
+    assert "linked" in codecs, codecs
+    # schema records the map for readers
+    import json
+
+    with open(f"{path}/_schema.json") as fh:
+        assert json.load(fh)["linked_cols"] == {"seq": "ts"}
+
+    raw = pdf.sort_values(["user_id", "ts", "seq"]).reset_index(drop=True)
+    dec = (
+        decode_table(spark, path)
+        .orderBy("user_id", "ts", "seq")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert (dec["seq"].to_numpy() == raw["seq"].to_numpy()).all()
+    assert (dec["ts"].to_numpy() == raw["ts"].to_numpy()).all()
+
+    # pushdowns over the linked column
+    thr = int(np.median(seq))
+    got = filter_gt_table(spark, path, "seq", thr, ["seq", "user_id"]).toPandas()
+    assert len(got) == int((seq > thr).sum())
+    assert (got["seq"].to_numpy() > thr).all()
+    v = int(seq[123])
+    hits = lookup_eq_table(spark, path, "seq", v, ["seq"]).toPandas()
+    assert len(hits) == int((seq == v).sum()) and (hits["seq"] == v).all()
+    total = sum_column(spark, path, "seq").collect()[0][0]
+    assert int(total) == int(seq.sum(dtype=object))
+    totk = sum_column_kernel(spark, path, "seq").collect()[0][0]
+    assert int(totk) == int(seq.sum(dtype=object))
+    bm = select_bitmap_table(spark, path, "seq", 97, 0, ["seq", "user_id"]).toPandas()
+    assert len(bm) == int((seq % 97 == 0).sum())
+
+    # column-pruned decode of ONLY the linked column still works (the
+    # companion payload leaf rides along via the schema map)
+    only = decode_table(spark, path, columns=["seq"]).toPandas()
+    assert sorted(only["seq"].tolist()) == sorted(seq.tolist())
