@@ -487,6 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_events_outlier": _forced_decode_query(
             "events", ["event_id", "ts", "user_id", "value"], "leco_outlier", "ts"
         ),
+        "decode_events_spline": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "spline", "ts"
+        ),
         "decode_documents_word_dict": _forced_decode_query(
             "documents", ["doc_id", "text", "lang", "source"], "word_dict", "text"
         ),
@@ -574,6 +577,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_events_delta_var": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_poly2": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_outlier": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_spline": "SELECT event_id, ts, user_id, value FROM events",
         "decode_documents_word_dict": "SELECT doc_id, text, lang, source FROM documents",
         "decode_customer_wide_string": "SELECT c_custkey, c_name FROM customer",
         "decode_lineitem_tuned": (

@@ -14,6 +14,7 @@ from .leco_var_dp import LecoVarDpCodec
 from .linked import LinkedCodec
 from .outlier import LecoOutlierCodec
 from .poly import Poly2Codec
+from .spline import SplineCodec
 
 INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "raw": RawCodec,
@@ -28,13 +29,14 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "leco_outlier": LecoOutlierCodec,
     "leco_var_dp": LecoVarDpCodec,
     "linked": LinkedCodec,
+    "spline": SplineCodec,
 }
 
 # stable ids for embedding a codec choice inside payloads / chunk meta
 # (append-only: ids are persisted inside chunk payloads)
 CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
     ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2",
-     "delta_var", "leco_outlier", "leco_var_dp", "linked"]
+     "delta_var", "leco_outlier", "leco_var_dp", "linked", "spline"]
 )}
 CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
 

@@ -225,10 +225,26 @@ def encode_int_values(
     # in an otherwise-modelable column blow the fixed residual width; the
     # exception-list codec keeps the narrow bulk width. Raced under the same
     # gate as poly2 (analytic size first, encode only on a win).
+    # Spline / cubic model (spline_fix.h): second nonlinear family; same
+    # gated analytic-size-first race as poly2 — the common linear case
+    # never pays for it
     if (
         selection == "exact"
         and vals.size >= 256
         and name in ("leco", "for", "delta", "poly2")
+        and len(payload) > 0.02 * vals.nbytes
+    ):
+        from .codecs.spline import SplineCodec
+
+        sp = SplineCodec(udtype)
+        if sp.size_bytes(vals) < len(payload):
+            cand = sp.encode(vals)
+            if len(cand) < len(payload):
+                name, payload = "spline", cand
+    if (
+        selection == "exact"
+        and vals.size >= 256
+        and name in ("leco", "for", "delta", "poly2", "spline")
         and len(payload) > 0.02 * vals.nbytes
     ):
         from .codecs.outlier import LecoOutlierCodec
@@ -246,7 +262,7 @@ def encode_int_values(
     if (
         selection == "exact"
         and vals.size >= 4096
-        and name in ("leco", "for", "delta", "poly2", "leco_outlier")
+        and name in ("leco", "for", "delta", "poly2", "spline", "leco_outlier")
         and len(payload) > 0.05 * vals.nbytes
     ):
         fixed_name = name

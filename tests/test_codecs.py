@@ -693,11 +693,15 @@ _OVERFLOW_GOLDEN = {
     ("leco_var_dp", "alt"): "94b51e75eeb418b2",
     ("leco_var_dp", "steep"): "7915b40d518e8fc7",
     ("leco_var_dp", "topband"): "d91db7dfbeeec276",
+    ("spline", "spike"): "2a9fe9ead92584f6",
+    ("spline", "alt"): "8a98c3511e61f9f1",
+    ("spline", "steep"): "4fdddb9b28fdf0d9",
+    ("spline", "topband"): "1d040f794c3283d8",
 }
 
 
 @pytest.mark.parametrize(
-    "codec_name", ["leco", "poly2", "leco_outlier", "leco_var", "leco_var_dp"]
+    "codec_name", ["leco", "poly2", "leco_outlier", "leco_var", "leco_var_dp", "spline"]
 )
 def test_prediction_cast_overflow_golden_bytes(codec_name):
     """Stored BYTES (not just roundtrip) are pinned for overflow inputs —
@@ -712,7 +716,7 @@ def test_prediction_cast_overflow_golden_bytes(codec_name):
         assert got == _OVERFLOW_GOLDEN[(codec_name, bname)], (codec_name, bname, got)
         np.testing.assert_array_equal(codec.decode(payload, vals.size), vals)
     # the fixed-width families raw-escape all four blocks: max_bit==width
-    if codec_name in ("leco", "poly2", "leco_outlier"):
+    if codec_name in ("leco", "poly2", "leco_outlier", "spline"):
         for vals in _OVERFLOW_BLOCKS.values():
             assert codec.encode(vals)[0] == 64
 
@@ -1040,3 +1044,35 @@ def test_leco_string_outlier_codec():
     uniform = pa.array(["abc"] * 100, type=pa.large_string()).cast(pa.large_binary())
     name3, _ = encode_string_column_arrow(uniform, "force:leco_str_outlier")
     assert name3 != "leco_str_outlier"
+
+
+def test_spline_wins_on_cubic():
+    """Spline/cubic model (spline_fix.h + spline_lr.h): beats both the line
+    and the quadratic on cubic-shaped data, roundtrips exactly, and joins
+    the framed race."""
+    from learn_to_compress_spark.codecs.intcodecs import LecoFixCodec
+    from learn_to_compress_spark.codecs.poly import Poly2Codec
+    from learn_to_compress_spark.codecs.spline import SplineCodec
+
+    n = 4096
+    x = np.arange(n, dtype=np.float64)
+    y = (2e-6 * x**3 - 0.009 * x * x + 14 * x + 1000 + RNG.integers(-3, 4, n)).astype(
+        np.uint64
+    )
+    assert (np.diff(y.view(np.int64)) > -100).all()  # monotone-ish, no wrap
+    sp = SplineCodec(np.uint64)
+    payload = sp.encode(y)
+    np.testing.assert_array_equal(sp.decode(payload, n), y)
+    assert len(payload) < len(Poly2Codec(np.uint64).encode(y))
+    assert len(payload) < len(LecoFixCodec(np.uint64).encode(y))
+    assert sp.size_bytes(y) == len(payload)
+    pos = RNG.integers(0, n, 200)
+    np.testing.assert_array_equal(sp.gather(payload, pos, n), y[pos])
+    assert sp.sum(payload, n) == int(y.sum(dtype=object))
+    # framed race picks it end-to-end on this shape
+    from learn_to_compress_spark.select import decode_int_column, encode_int_values
+
+    name, framed = encode_int_values(y.view(np.int64).copy(), None, "int64")
+    assert name == "spline"
+    out = decode_int_column(framed, n, "int64")
+    np.testing.assert_array_equal(out.to_numpy().view(np.uint64), y)
