@@ -145,11 +145,19 @@ def main() -> int:
     extra["lineitem_ratio"] = round(ml["ratio"], 4)
     timed_best2("decode_lineitem", lambda: decode_table(spark, f"{work}/lineitem1").count())
     # block-size auto-tuner (untimed, CR evidence): sweep chunk sizes on a
-    # bounded sample and record the tuned ratio next to the default's
+    # bounded sample and record the tuned ratio next to the static default.
+    # Both stores use 4 large parts so part size doesn't cap chunk size —
+    # the regime a 100 TB table is ALWAYS in (its parts dwarf any chunk);
+    # the timed encodes above keep their 128-part plan for r3 comparability.
+    m64 = encode_table(
+        li, f"{work}/lineitem_64k", key_cols=("l_orderkey", "l_linenumber"),
+        resume=False, num_parts=4,
+    )
     mt = encode_table(
         li, f"{work}/lineitem_tuned", key_cols=("l_orderkey", "l_linenumber"),
-        resume=False, chunk_rows="auto",
+        resume=False, num_parts=4, chunk_rows="auto",
     )
+    extra["lineitem_ratio_64k"] = round(m64["ratio"], 4)
     extra["lineitem_chunk_rows_tuned"] = mt["chunk_rows"]
     extra["lineitem_ratio_tuned"] = round(mt["ratio"], 4)
 

@@ -79,9 +79,17 @@ class SplineCodec(IntCodec):
 
     def _recenter(self, values, t0, t1, t2, t3):
         """Midpoint + floor-align intercept candidates (same trick as
-        LeCo_fix/poly2); None when no candidate keeps predictions castable."""
+        LeCo_fix/poly2); None when no candidate keeps predictions castable.
+
+        Each candidate is priced by RE-EVALUATING the decode expression
+        ``(t0+shift) + t1·x + t2·x² + t3·x³`` — NOT ``predf + shift``: float
+        addition is non-associative and at 2^64 magnitudes the two differ by
+        ulps of 2048, which would make the stored residuals disagree with
+        decode's predictions (hypothesis counterexample: constant -11264
+        as uint64)."""
         n = values.size
-        predf = self._predf(t0, t1, t2, t3, np.arange(n))
+        idx = np.arange(n)
+        predf = self._predf(t0, t1, t2, t3, idx)
         errf = as_signed64(values).astype(np.float64) - predf
         if preds_castable(predf):
             err = as_signed64(values) - predf.astype(np.int64)
@@ -93,9 +101,12 @@ class SplineCodec(IntCodec):
             hf = float(errf.max()) if n else 0.0
         best = None
         for shift in (mid, hf):
-            if not np.isfinite(shift) or not preds_castable(predf + shift):
+            if not np.isfinite(shift):
                 continue
-            sign, mag = self._residuals_from(values, predf + shift)
+            cpredf = self._predf(t0 + shift, t1, t2, t3, idx)  # decode's expr
+            if not preds_castable(cpredf):
+                continue
+            sign, mag = self._residuals_from(values, cpredf)
             m = int(mag.max()) if n else 0
             if best is None or m < best[0]:
                 best = (m, t0 + shift, sign, mag)

@@ -554,10 +554,18 @@ def encode_table(
             chunk_rows, tune_sizes = tune_chunk_rows(df, key_cols)
     chunk_rows = int(chunk_rows)
     restore_conf: dict | None = None
+    # the Arrow bridge caps mapInArrow batches at maxRecordsPerBatch — a
+    # chunk_rows above it would be SILENTLY fragmented at batch boundaries
+    # (the kernel slices within one RecordBatch); raise the cap for this job
+    _batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    _cur_cap = int(spark.conf.get(_batch_key))
+    if chunk_rows > _cur_cap:
+        restore_conf = {_batch_key: str(_cur_cap)}
+        spark.conf.set(_batch_key, str(chunk_rows))
     if presorted:
         # split sizing BEFORE resolving the split count — the count is the
         # persisted partition mapping (see _tune_presorted_splits)
-        restore_conf = _tune_presorted_splits(spark, df)
+        restore_conf = {**(restore_conf or {}), **(_tune_presorted_splits(spark, df) or {})} or None
         default_parts = df.rdd.getNumPartitions()
         salt_block = 0  # unused: partition mapping is the input split id
     else:

@@ -1076,3 +1076,18 @@ def test_spline_wins_on_cubic():
     assert name == "spline"
     out = decode_int_column(framed, n, "int64")
     np.testing.assert_array_equal(out.to_numpy().view(np.uint64), y)
+
+
+def test_spline_recenter_reassociation_regression():
+    """Pinned hypothesis counterexample: constant -11264 viewed as uint64
+    (~2^64, float ulp 2048). The recenter must price candidates with the
+    DECODE expression ((t0+shift) + t1·x + …), not (predf + shift) — float
+    re-association at that magnitude shifted predictions by ulps and the
+    stored residuals disagreed with decode by up to 4010."""
+    from learn_to_compress_spark.codecs.spline import SplineCodec
+
+    vals = np.full(137, np.int64(-11264)).view(np.uint64)
+    codec = SplineCodec(np.uint64)
+    payload = codec.encode(vals)
+    np.testing.assert_array_equal(codec.decode(payload, vals.size), vals)
+    assert codec.sum(payload, vals.size) == int(vals.sum(dtype=object))
