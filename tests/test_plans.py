@@ -143,3 +143,26 @@ def test_filter_eq_string_plan_pushes_string_zone_map(spark, tmp_path):
     got = df.count()
     want = decode_table(spark, store).filter(F.col("role") == "user").count()
     assert got == want
+
+
+def test_linked_decode_plan_pruned_and_shuffle_free(spark, tmp_path):
+    """Decoding ONLY a linked column: the companion payload leaf must ride
+    along (its values reconstruct the target) while every OTHER column's
+    payload stays out of the Parquet ReadSchema, and the plan stays a pure
+    scan -> mapInArrow with no Exchange."""
+    store = str(tmp_path / "plan_store_lnk")
+    encode_table(
+        transcripts_df(spark, 60, parallelism=2),
+        store,
+        num_parts=4,
+        linked_cols={"ts": "turn_idx"},
+    )
+    df = decode_table(spark, store, columns=["ts"])
+    plan = explain_text(df)
+    assert shuffle_exchanges(df) == 0, plan
+    import re
+
+    schemas = " ".join(m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan))
+    assert "c_ts" in schemas and "c_turn_idx" in schemas, schemas
+    # untouched columns' payloads must not be read
+    assert "c_text" not in schemas and "c_role" not in schemas, schemas
