@@ -146,3 +146,30 @@ def test_compact_recovers_from_orphan_version_dir(spark, tmp_path):
     from learn_to_compress_spark.chunkstore import lineage_current_dir
 
     assert lineage_current_dir(store).endswith(f"{1:010d}")
+
+
+def test_compact_preserves_linked_store(spark, tmp_path):
+    """Compacting a store encoded with linked_cols must keep the map (the
+    staged re-encode reuses the persisted schema) and decode identically —
+    the compaction rewrite races the linked codec again on the merged
+    chunks."""
+    import json
+
+    from learn_to_compress_spark.sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 60).cache()
+    store = str(tmp_path / "lnk_store")
+    for i in range(3):
+        sl = df.filter(F.col("turn_idx") % 3 == i)
+        encode_table(
+            sl, store, num_parts=4, resume=False, chunk_rows=CHUNK,
+            linked_cols={"ts": "turn_idx"},
+        )
+    before = _rows(spark, store)
+    assert compact_store(spark, store)["compacted_parts"] > 0
+    vacuum_store(spark, store)
+    with open(os.path.join(store, "_schema.json")) as fh:
+        assert json.load(fh)["linked_cols"] == {"ts": "turn_idx"}
+    after = _rows(spark, store)
+    assert before["ts"].equals(after["ts"])
+    assert before["text"].equals(after["text"])
