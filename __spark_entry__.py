@@ -493,6 +493,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_documents_word_dict": _forced_decode_query(
             "documents", ["doc_id", "text", "lang", "source"], "word_dict", "text"
         ),
+        "decode_documents_fsst": _forced_decode_query(
+            "documents", ["doc_id", "text", "lang", "source"], "fsst", "text"
+        ),
+        "decode_customer_leco_str": _forced_decode_query(
+            "customer", ["c_custkey", "c_name"], "leco_str", "c_name"
+        ),
         "decode_customer_wide_string": _forced_decode_query(
             "customer", ["c_custkey", "c_name"], "leco_str_wide", "c_name"
         ),
@@ -579,6 +585,8 @@ def oracle_sql() -> dict[str, str]:
         "decode_events_outlier": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_spline": "SELECT event_id, ts, user_id, value FROM events",
         "decode_documents_word_dict": "SELECT doc_id, text, lang, source FROM documents",
+        "decode_documents_fsst": "SELECT doc_id, text, lang, source FROM documents",
+        "decode_customer_leco_str": "SELECT c_custkey, c_name FROM customer",
         "decode_customer_wide_string": "SELECT c_custkey, c_name FROM customer",
         "decode_lineitem_tuned": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "

@@ -104,7 +104,7 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..codecs import CODEC_IDS
+    from ..codecs import INT_CODEC_CLASSES
     from ..select import (
         STRING_CODEC_IDS,
         encode_double_column,
@@ -123,7 +123,11 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
     # and vice versa (doubles always race)
     if selection.startswith("force:"):
         forced = selection[6:]
-        int_sel = selection if forced in CODEC_IDS else "exact"
+        # route by the codec's ACTUAL kind ("fsst" holds a legacy slot in the
+        # int id registry but is a string codec; "linked" is framing-level)
+        int_sel = (
+            selection if forced in INT_CODEC_CLASSES and forced != "linked" else "exact"
+        )
         str_sel = selection if forced in STRING_CODEC_IDS else "exact"
     else:
         int_sel = str_sel = selection
