@@ -154,6 +154,36 @@ def _count_query(table: str):
     return fn
 
 
+def _minmax_query(table: str, column: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import minmax_column
+
+        store = _store_for(spark, sf_dir, table)
+        return minmax_column(spark, store, column)
+
+    return fn
+
+
+def _avg_query(table: str, column: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import avg_column
+
+        store = _store_for(spark, sf_dir, table)
+        return avg_column(spark, store, column)
+
+    return fn
+
+
+def _group_count_query(table: str, column: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import group_count_string_table
+
+        store = _store_for(spark, sf_dir, table)
+        return group_count_string_table(spark, store, column)
+
+    return fn
+
+
 def _filter_ts_query():
     # fixed literal: events.ts spans Jan 2024 at every sf (seed-42 generator)
     cut_us = 1_706_400_000_000_000  # 2024-01-28T00:00:00Z in µs
@@ -446,6 +476,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_documents_nchars": _sum_query("documents", "n_chars"),
         # COUNT from lineage metadata only (op: chunk-header count)
         "count_lineitem": _count_query("lineitem"),
+        # MIN/MAX from zone-map metadata only (int + string zone maps)
+        "minmax_events_ts": _minmax_query("events", "ts"),
+        "minmax_customer_name": _minmax_query("customer", "c_name"),
+        # AVG from metadata only (vsum / nvalid, v2.2)
+        "avg_events_userid": _avg_query("events", "user_id"),
+        # GROUP BY count in the CODE domain (dict chunks: no row strings)
+        "group_count_events_eventtype": _group_count_query("events", "event_type"),
         # range-filter pushdown: zone maps + model inversion (ops #28, #30, #31)
         "filter_events_ts_gt": _filter_ts_query(),
         "filter_events_userid_gt": _filter_int_query(),
@@ -545,6 +582,18 @@ def oracle_sql() -> dict[str, str]:
         "sum_events_userid": "SELECT CAST(SUM(user_id) AS BIGINT) AS sum_user_id FROM events",
         "sum_documents_nchars": "SELECT CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars FROM documents",
         "count_lineitem": "SELECT COUNT(*) AS cnt FROM lineitem",
+        "minmax_events_ts": "SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events",
+        "minmax_customer_name": (
+            "SELECT MIN(c_name) AS min_c_name, MAX(c_name) AS max_c_name FROM customer"
+        ),
+        # the double division of two exactly-representable integers is
+        # bit-identical on both engines (our plan computes the same thing)
+        "avg_events_userid": (
+            "SELECT CAST(SUM(user_id) AS DOUBLE) / COUNT(user_id) AS avg_user_id FROM events"
+        ),
+        "group_count_events_eventtype": (
+            "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"
+        ),
         "filter_events_ts_gt": (
             "SELECT event_id, user_id, ts FROM events "
             "WHERE ts > TIMESTAMP '2024-01-28 00:00:00'"

@@ -55,6 +55,10 @@ COL_STRUCT = T.StructType(
         # range predicates prune chunks at the Parquet scan like int ones
         T.StructField("zsmin", T.StringType(), True),
         T.StructField("zsmax", T.StringType(), True),
+        # non-null value count (v2.2) — makes AVG a metadata-only scan
+        # (``vsum / nvalid``); null on pre-v2.2 stores, where readers fall
+        # back to ``n_rows`` (exact whenever the column has no nulls)
+        T.StructField("nvalid", T.LongType(), True),
     ]
 )
 

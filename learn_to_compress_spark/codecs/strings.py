@@ -243,6 +243,21 @@ class DictStringCodec:
         sel = codes.view(np.int64)[np.asarray(positions, dtype=np.int64)]
         return pc.take(uniq, pa.array(sel))
 
+    def value_counts(self, payload: bytes, n: int) -> tuple[pa.Array, np.ndarray]:
+        """Per-value occurrence counts in the CODE domain: decode the (tiny)
+        unique dictionary plus the int-coded code column and ``bincount``
+        the codes — the n-row string column never materializes (the GROUP
+        BY analogue of the reference's dictionary lookup,
+        ``raw_test_dictionary.cpp:107-112``). Returns ``(uniques, counts)``
+        aligned by position; zero-count uniques are kept (harmless — the
+        caller aggregates across chunks)."""
+        if n == 0:
+            return pa.array([], type=pa.large_binary()), np.empty(0, np.int64)
+        uniq, codes_off = self._uniq_and_codes_off(payload, n)
+        codes, _ = _decode_ints_best(payload, codes_off, n)
+        counts = np.bincount(codes.view(np.int64), minlength=len(uniq))
+        return uniq, counts.astype(np.int64)
+
     def positions_gt(
         self, payload: bytes, n: int, needle: bytes, strict: bool = True
     ) -> np.ndarray:

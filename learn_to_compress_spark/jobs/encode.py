@@ -163,6 +163,7 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
             info["vsum"] = 0
     info["raw_bytes"] = raw
     info["enc_bytes"] = len(payload)
+    info["nvalid"] = len(nonnull)
     return name, payload, info
 
 
@@ -255,7 +256,7 @@ def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None):
             bounds = [0, *change.tolist(), len(rb)]
             meta = {k: [] for k in ("part_id", "chunk_id", "n_rows", "raw_bytes", "enc_bytes")}
             per_col: dict[str, dict[str, list]] = {
-                name: {k: [] for k in ("codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes", "zsmin", "zsmax")}
+                name: {k: [] for k in ("codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes", "zsmin", "zsmax", "nvalid")}
                 for name, _ in colspecs
             }
             for s, e in zip(bounds[:-1], bounds[1:]):
@@ -281,6 +282,7 @@ def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None):
                         d["vsum"].append(info.get("vsum"))
                         d["zsmin"].append(info.get("zsmin"))
                         d["zsmax"].append(info.get("zsmax"))
+                        d["nvalid"].append(info["nvalid"])
                         d["raw_bytes"].append(info["raw_bytes"])
                         d["enc_bytes"].append(info["enc_bytes"])
                         chunk_raw += info["raw_bytes"]
@@ -327,8 +329,9 @@ def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None):
                             pa.array(d["enc_bytes"], pa.int64()),
                             pa.array(d["zsmin"], pa.string()),
                             pa.array(d["zsmax"], pa.string()),
+                            pa.array(d["nvalid"], pa.int64()),
                         ],
-                        names=["codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes", "zsmin", "zsmax"],
+                        names=["codec", "payload", "zmin", "zmax", "vsum", "raw_bytes", "enc_bytes", "zsmin", "zsmax", "nvalid"],
                     )
                 )
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
@@ -350,6 +353,7 @@ def _arrow_chunk_schema(colspecs):
             pa.field("enc_bytes", pa.int64()),
             pa.field("zsmin", pa.string()),
             pa.field("zsmax", pa.string()),
+            pa.field("nvalid", pa.int64()),
         ]
     )
     fields = [

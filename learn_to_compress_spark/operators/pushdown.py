@@ -412,3 +412,138 @@ def select_bitmap_table(
         return pos_dense
 
     return _gather_table(spark, store, bitmap_col, out_cols, pos_fn)
+
+
+def minmax_column(spark: SparkSession, store: str, column: str) -> DataFrame:
+    """MIN/MAX(column) from per-chunk zone maps only — no payload touched.
+
+    Zone maps are exact per-chunk min/max (int/timestamp: ``zmin``/``zmax``
+    in the signed µs domain; strings: ``zsmin``/``zsmax`` in UTF8-binary
+    order, the collation Spark and DuckDB both compare with), so the global
+    extrema are a metadata-only Parquet scan of two leaves plus a built-in
+    aggregate — the MIN/MAX analogue of :func:`sum_column` (the reference
+    reads one chunk header for the same answer, its zone-map fields at
+    ``experiments/leco_int_fix_template.cpp:222-249``). All-null chunks
+    carry null zone maps and are skipped by the aggregate. Output columns:
+    ``min_<col>``, ``max_<col>``.
+    """
+    colspecs, _ = load_schema(store)
+    logical = dict(colspecs)[column]
+    if logical == "string":
+        lo, hi = "zsmin", "zsmax"
+        conv = lambda c: c  # noqa: E731
+    elif logical in _INT_LOGICALS:
+        lo, hi = "zmin", "zmax"
+        if logical == "int32":
+            conv = lambda c: c.cast(T.IntegerType())  # noqa: E731
+        elif logical == "timestamp_us":
+            conv = F.timestamp_micros
+        elif logical == "timestamp_ntz_us":
+            # session tz is pinned to UTC (sources.session), so the
+            # TIMESTAMP → TIMESTAMP_NTZ cast is the identity on the µs value
+            conv = lambda c: F.timestamp_micros(c).cast(T.TimestampNTZType())  # noqa: E731
+        else:
+            conv = lambda c: c  # noqa: E731
+    else:
+        raise ValueError(f"minmax_column: unsupported logical type {logical}")
+    chunks = read_chunks(
+        spark,
+        store,
+        leaves=[
+            F.col(f"{col_field(column)}.{lo}").alias("_lo"),
+            F.col(f"{col_field(column)}.{hi}").alias("_hi"),
+        ],
+    )
+    return chunks.agg(
+        conv(F.min("_lo")).alias(f"min_{column}"),
+        conv(F.max("_hi")).alias(f"max_{column}"),
+    )
+
+
+def avg_column(spark: SparkSession, store: str, column: str) -> DataFrame:
+    """AVG(column) from per-chunk metadata only: ``Σ vsum / Σ nvalid``.
+
+    Both operands are exact integers persisted at encode time (``vsum`` the
+    exact value sum, ``nvalid`` the non-null count, v2.2), so the plan is a
+    two-leaf metadata scan + one built-in aggregate + a single double
+    division — bit-identical to ``CAST(SUM(col) AS DOUBLE) / COUNT(col)``
+    whenever the sum is exactly representable. Pre-v2.2 stores read a null
+    ``nvalid`` and fall back to ``n_rows`` (exact for null-free columns —
+    re-encode to upgrade). Output column: ``avg_<col>``.
+    """
+    colspecs, _ = load_schema(store)
+    logical = dict(colspecs)[column]
+    if logical not in ("int32", "int64"):
+        raise ValueError(f"avg_column supports int columns, got {logical}")
+    chunks = read_chunks(
+        spark,
+        store,
+        leaves=[
+            F.col(f"{col_field(column)}.vsum").alias("_s"),
+            F.coalesce(F.col(f"{col_field(column)}.nvalid"), F.col("n_rows")).alias("_n"),
+        ],
+    )
+    return chunks.agg(
+        (F.sum("_s").cast(T.DoubleType()) / F.sum("_n").cast(T.DoubleType())).alias(
+            f"avg_{column}"
+        )
+    )
+
+
+def group_count_string_table(spark: SparkSession, store: str, column: str) -> DataFrame:
+    """SELECT column, COUNT(*) GROUP BY column over the chunk store.
+
+    Per chunk, the kernel emits at most ``n_distinct`` partial rows
+    (``select.column_value_counts_string``): dict-coded chunks count in the
+    CODE domain — decode the (tiny) unique dictionary plus the int code
+    column and ``bincount``, so no row string ever materializes (the GROUP
+    BY analogue of the reference's dictionary operators,
+    ``experiments/raw_test_dictionary.cpp:107-112``); other codecs decode
+    once and count with Arrow's C++ ``value_counts``. The shuffle then
+    carries only (value, count) partials — the map-side-combined shape that
+    stays tiny at any scale — and a built-in groupBy sums them. NULL rows
+    form SQL's NULL group. Output columns: ``<col>``, ``cnt``.
+    """
+    import pyarrow as pa
+
+    from ..select import column_value_counts_string
+
+    colspecs, _ = load_schema(store)
+    if dict(colspecs)[column] != "string":
+        raise ValueError("group_count_string_table supports string columns")
+    sel = read_chunks(
+        spark,
+        store,
+        leaves=[F.col("n_rows"), F.col(f"{col_field(column)}.payload").alias("p")],
+    )
+
+    def kernel(batches):
+        for rb in batches:
+            n_rows = rb.column(rb.schema.get_field_index("n_rows"))
+            payloads = rb.column(rb.schema.get_field_index("p"))
+            vals: list = []
+            cnts: list = []
+            for i in range(rb.num_rows):
+                uniq, counts, nulls = column_value_counts_string(
+                    bytes(payloads[i].as_py()), int(n_rows[i].as_py())
+                )
+                vals.extend(uniq.to_pylist())
+                cnts.extend(int(c) for c in counts)
+                if nulls:
+                    vals.append(None)
+                    cnts.append(nulls)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vals, pa.string()), pa.array(cnts, pa.int64())],
+                names=[column, "cnt"],
+            )
+
+    partials = sel.mapInArrow(
+        kernel,
+        T.StructType(
+            [
+                T.StructField(column, T.StringType(), True),
+                T.StructField("cnt", T.LongType(), False),
+            ]
+        ),
+    )
+    return partials.groupBy(column).agg(F.sum("cnt").alias("cnt"))

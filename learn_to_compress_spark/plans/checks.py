@@ -50,8 +50,18 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 
 
 def shuffle_exchanges(df: DataFrame) -> int:
-    """Count of SHUFFLE exchanges in the plan (BroadcastExchange of tiny
-    metadata sides is fine at scale; a hash/range Exchange of chunk rows is
-    the 100 TB anti-pattern the store layout exists to avoid)."""
+    """Count of DISTINCT shuffle exchanges in the plan (BroadcastExchange
+    of tiny metadata sides is fine at scale; a hash/range Exchange of chunk
+    rows is the 100 TB anti-pattern the store layout exists to avoid).
+
+    The formatted plan prints every node twice — once in the tree
+    (``+- Exchange (11)``) and once in the details (``(11) Exchange``) — so
+    distinct node ids are counted, not raw matches."""
     text = explain_text(df)
-    return len(re.findall(r"(?<!Broadcast)Exchange", text))
+    # tree lines name the node id: "+- Exchange (11)"; ReusedExchange is a
+    # pointer to an already-counted node, not a second shuffle
+    ids = set(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)", text))
+    if ids:
+        return len(ids)
+    # non-formatted fallback (simple/extended explain text)
+    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", text))

@@ -698,6 +698,38 @@ def column_gather_string_arrow(payload: bytes, n: int, positions: np.ndarray):
     return decode_string_column_arrow(payload, n).take(pa.array(positions))
 
 
+def column_value_counts_string(payload: bytes, n: int):
+    """Per-chunk GROUP BY COUNT over a framed string column.
+
+    Returns ``(values pa.Array(large_string), counts int64[], null_count)``.
+    Dict-coded chunks count in the CODE domain (``DictStringCodec.
+    value_counts`` — dictionary + ``bincount`` of int codes, no row string
+    materialized); other codecs decode once and count with Arrow's C++
+    ``value_counts`` kernel. Null rows are reported separately so the
+    caller can emit SQL's NULL group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    null_count = n - n_valid
+    if not n_valid:
+        return pa.array([], type=pa.large_string()), np.empty(0, np.int64), null_count
+    name = STRING_CODEC_NAMES[payload[off]]
+    codec = STRING_CODEC_CLASSES[name]()
+    if hasattr(codec, "value_counts"):
+        uniq, counts = codec.value_counts(payload[off + 1 :], n_valid)
+        keep = counts > 0
+        return uniq.cast(pa.large_string()).filter(pa.array(keep)), counts[keep], null_count
+    arr = codec.decode(payload[off + 1 :], n_valid).cast(pa.large_string())
+    vc = pc.value_counts(arr)
+    return (
+        vc.field("values"),
+        vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+        null_count,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Arrow-native decode variants (used by the applyInArrow decode kernel —
 # decoded columns go straight back to the JVM as Arrow buffers)

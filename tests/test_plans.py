@@ -166,3 +166,52 @@ def test_linked_decode_plan_pruned_and_shuffle_free(spark, tmp_path):
     assert "c_ts" in schemas and "c_turn_idx" in schemas, schemas
     # untouched columns' payloads must not be read
     assert "c_text" not in schemas and "c_role" not in schemas, schemas
+
+
+def test_minmax_is_metadata_only(spark, tmp_path):
+    """MIN/MAX reads only the two zone-map leaves — nested schema pruning
+    keeps payload bytes out of the scan and no Python worker appears."""
+    from learn_to_compress_spark.operators import minmax_column
+
+    store = _store(spark, tmp_path, "plan_store_mm")
+    for col, leaf in (("turn_idx", "zmin"), ("conv_id", "zsmin")):
+        df = minmax_column(spark, store, col)
+        for fields in scan_read_schema(df):
+            assert "payload" not in str(fields), fields
+        plan = explain_text(df)
+        assert leaf in plan, plan
+        assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan, plan
+
+
+def test_avg_is_metadata_only(spark, tmp_path):
+    """AVG reads only vsum + nvalid (plus n_rows for the pre-v2.2
+    fallback) — never payload bytes, never a Python worker."""
+    from learn_to_compress_spark.operators import avg_column
+
+    store = _store(spark, tmp_path, "plan_store_avg")
+    df = avg_column(spark, store, "turn_idx")
+    for fields in scan_read_schema(df):
+        assert "payload" not in str(fields), fields
+    plan = explain_text(df)
+    assert "vsum" in plan and "nvalid" in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan, plan
+
+
+def test_group_count_reads_only_target_payload(spark, tmp_path):
+    """GROUP BY count scans exactly one payload leaf (the grouped column);
+    the shuffle moves only (value, count) partials, never row strings —
+    asserted here as: exactly the aggregation Exchange, with the kernel
+    below it."""
+    from learn_to_compress_spark.operators import group_count_string_table
+
+    store = _store(spark, tmp_path, "plan_store_gc")
+    df = group_count_string_table(spark, store, "role")
+    plan = explain_text(df)
+    import re
+
+    schemas = " ".join(m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan))
+    assert "c_role" in schemas, schemas
+    assert "c_text" not in schemas and "c_ts" not in schemas, schemas
+    # one shuffle: the tiny partials aggregation (AQE may plan it as a
+    # single Exchange above the MapInArrow kernel)
+    assert shuffle_exchanges(df) <= 1, plan
