@@ -184,6 +184,40 @@ def _group_count_query(table: str, column: str):
     return fn
 
 
+def _sum_filtered_query(table: str, column: str, filter_col: str, value: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import sum_filtered_column
+
+        store = _store_for(spark, sf_dir, table)
+        return sum_filtered_column(spark, store, column, filter_col, value).select(
+            F.col(f"sum_{column}").cast("long").alias(f"sum_{column}")
+        )
+
+    return fn
+
+
+def _group_sum_query(table: str, key_col: str, val_col: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import group_sum_string_table
+
+        store = _store_for(spark, sf_dir, table)
+        return group_sum_string_table(spark, store, key_col, val_col).select(
+            key_col, F.col(f"sum_{val_col}").cast("long").alias(f"sum_{val_col}")
+        )
+
+    return fn
+
+
+def _ndv_query(table: str, column: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import count_distinct_string
+
+        store = _store_for(spark, sf_dir, table)
+        return count_distinct_string(spark, store, column)
+
+    return fn
+
+
 def _filter_ts_query():
     # fixed literal: events.ts spans Jan 2024 at every sf (seed-42 generator)
     cut_us = 1_706_400_000_000_000  # 2024-01-28T00:00:00Z in µs
@@ -483,6 +517,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_events_userid": _avg_query("events", "user_id"),
         # GROUP BY count in the CODE domain (dict chunks: no row strings)
         "group_count_events_eventtype": _group_count_query("events", "event_type"),
+        # hybrid zone-pruned SUM-under-filter: pruned chunks die at the scan,
+        # interior chunks contribute vsum metadata, only threshold-straddling
+        # chunks touch payload (ops #30 + #32 composed)
+        "sum_events_userid_where_ts": _sum_filtered_query(
+            "events", "user_id", "ts", 1_706_400_000_000_000
+        ),
+        # GROUP BY + SUM: code-domain keys paired with one measure decode,
+        # exact integer accumulation, (key, hi, lo) partials on the shuffle
+        "group_sum_events_eventtype_userid": _group_sum_query(
+            "events", "event_type", "user_id"
+        ),
+        # COUNT(DISTINCT) from per-chunk dictionaries (≤ ndv rows per chunk)
+        "ndv_events_eventtype": _ndv_query("events", "event_type"),
         # range-filter pushdown: zone maps + model inversion (ops #28, #30, #31)
         "filter_events_ts_gt": _filter_ts_query(),
         "filter_events_userid_gt": _filter_int_query(),
@@ -593,6 +640,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "group_count_events_eventtype": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"
+        ),
+        "sum_events_userid_where_ts": (
+            "SELECT CAST(SUM(user_id) AS BIGINT) AS sum_user_id FROM events "
+            "WHERE ts > TIMESTAMP '2024-01-28 00:00:00'"
+        ),
+        "group_sum_events_eventtype_userid": (
+            "SELECT event_type, CAST(SUM(user_id) AS BIGINT) AS sum_user_id "
+            "FROM events GROUP BY event_type"
+        ),
+        "ndv_events_eventtype": (
+            "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv_event_type "
+            "FROM events"
         ),
         "filter_events_ts_gt": (
             "SELECT event_id, user_id, ts FROM events "

@@ -258,6 +258,17 @@ class DictStringCodec:
         counts = np.bincount(codes.view(np.int64), minlength=len(uniq))
         return uniq, counts.astype(np.int64)
 
+    def codes(self, payload: bytes, n: int) -> tuple[pa.Array, np.ndarray]:
+        """(unique dictionary, per-row int64 codes) — the raw CODE-domain
+        view, for group-aggregate kernels that pair codes with a measure
+        column (``bincount``/``add.at`` per code, no row string ever
+        materialized)."""
+        if n == 0:
+            return pa.array([], type=pa.large_binary()), np.empty(0, np.int64)
+        uniq, codes_off = self._uniq_and_codes_off(payload, n)
+        codes, _ = _decode_ints_best(payload, codes_off, n)
+        return uniq, codes.view(np.int64)
+
     def positions_gt(
         self, payload: bytes, n: int, needle: bytes, strict: bool = True
     ) -> np.ndarray:

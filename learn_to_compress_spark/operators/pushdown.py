@@ -547,3 +547,270 @@ def group_count_string_table(spark: SparkSession, store: str, column: str) -> Da
         ),
     )
     return partials.groupBy(column).agg(F.sum("cnt").alias("cnt"))
+
+
+def sum_filtered_column(
+    spark: SparkSession, store: str, column: str, filter_col: str, value: int
+) -> DataFrame:
+    """SUM(column) WHERE filter_col > value — the hybrid zone-pruned
+    aggregate (zone-map skipping #30 composed with SUM pushdown #32, the
+    combination the reference runs as filter-then-sum over block headers,
+    ``experiments/leco_int_fix_template.cpp:222-249`` +
+    ``headers/piecewise_fix_op.h:167-284``).
+
+    Chunks split three ways on the filter column's zone map, each at its
+    cheapest tier:
+
+    * **pruned** (``zmax <= value``): dropped AT THE PARQUET SCAN by the
+      pushed nested predicate — payload bytes never deserialized;
+    * **interior** (``zmin > value`` and the filter column provably
+      null-free in the chunk, ``nvalid == n_rows``): every row qualifies,
+      so the chunk contributes its persisted ``vsum``/``nvalid`` metadata —
+      payload never read;
+    * **boundary** (zone map straddles the threshold): the only chunks that
+      touch payload — the codec's model-inversion ``filter_gt`` finds match
+      positions and the measure column is summed exactly at those positions
+      (``select.column_sum_at``).
+
+    At any scale the boundary set is O(chunks whose range straddles one
+    threshold) — for sorted/clustered columns a constant number per
+    partition. ``value`` is in the filter column's signed domain (µs since
+    epoch for timestamps). Returns NULL when no qualifying non-null value
+    exists (SQL SUM semantics). Output column: ``sum_<column>``.
+    """
+    from ..chunkstore import load_store_schema
+
+    colspecs, _ = load_schema(store)
+    logical_of = dict(colspecs)
+    if logical_of[column] not in _INT_LOGICALS:
+        raise ValueError(f"sum_filtered_column sums int/timestamp columns, got {logical_of[column]}")
+    if logical_of[filter_col] not in _INT_LOGICALS:
+        raise ValueError(f"filter column must be int/timestamp, got {logical_of[filter_col]}")
+    v = int(value)
+    dec = T.DecimalType(38, 0)
+    fz = col_field(filter_col)
+    zmin, zmax = F.col(f"{fz}.zmin"), F.col(f"{fz}.zmax")
+    # interior requires PROOF: zone-map strictly above the threshold AND a
+    # null-free filter column (a null filter row never matches, but vsum
+    # would still include its measure value) — eqNullSafe sends pre-v2.2
+    # chunks (null nvalid) to the boundary kernel, which is always correct
+    interior_pred = F.coalesce(zmin > F.lit(v), F.lit(False)) & F.col(
+        f"{fz}.nvalid"
+    ).eqNullSafe(F.col("n_rows").cast(T.LongType()))
+    # null zmax = no zone map (defensive: decide in the kernel, like
+    # filter_gt_table); zmax <= value chunks are pruned at the scan
+    boundary_pred = (zmax.isNull() | (zmax > F.lit(v))) & ~interior_pred
+
+    interior = (
+        read_chunks(
+            spark,
+            store,
+            leaves=[
+                F.col(f"{col_field(column)}.vsum").alias("partial"),
+                F.coalesce(
+                    F.col(f"{col_field(column)}.nvalid"), F.col("n_rows").cast(T.LongType())
+                ).alias("nn"),
+                interior_pred.alias("_keep"),
+            ],
+        )
+        .filter(F.col("_keep"))
+        .select(F.col("partial").cast(dec).alias("partial"), "nn")
+    )
+
+    c_logical, f_logical = logical_of[column], logical_of[filter_col]
+    linked = load_store_schema(store).get("linked_cols") or {}
+    need = list(dict.fromkeys([filter_col, column]))
+    comp_of_name = {t: c for t, c in linked.items() if t in need}
+    read_cols = list(dict.fromkeys(need + list(comp_of_name.values())))
+    leaves = [F.col("n_rows")] + [
+        F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in read_cols
+    ] + [boundary_pred.alias("_keep")]
+    boundary_sel = read_chunks(spark, store, leaves=leaves).filter(F.col("_keep"))
+
+    from decimal import Decimal
+
+    from ..select import column_filter_gt as _filter_gt
+    from ..select import column_sum_at as _sum_at
+
+    def kernel(batches):
+        for pdf in batches:
+            parts, nns = [], []
+            for i in range(len(pdf)):
+                n = int(pdf["n_rows"].iloc[i])
+
+                def comp(name):
+                    cname = comp_of_name.get(name)
+                    if cname is None:
+                        return None
+                    return (bytes(pdf[f"p_{cname}"].iloc[i]), logical_of[cname])
+
+                pos = _filter_gt(
+                    bytes(pdf[f"p_{filter_col}"].iloc[i]), n, f_logical, v,
+                    companion=comp(filter_col),
+                )
+                s, nn = _sum_at(
+                    bytes(pdf[f"p_{column}"].iloc[i]), n, c_logical, pos,
+                    companion=comp(column),
+                )
+                parts.append(Decimal(s))
+                nns.append(nn)
+            yield pd.DataFrame({"partial": parts, "nn": pd.array(nns, dtype="int64")})
+
+    boundary = boundary_sel.mapInPandas(
+        kernel,
+        T.StructType(
+            [T.StructField("partial", dec), T.StructField("nn", T.LongType())]
+        ),
+    )
+    u = interior.unionByName(boundary)
+    return u.agg(
+        F.when(F.sum("nn") > 0, F.sum("partial").cast(dec))
+        .otherwise(F.lit(None).cast(dec))
+        .alias(f"sum_{column}")
+    )
+
+
+def group_sum_string_table(
+    spark: SparkSession, store: str, key_col: str, val_col: str
+) -> DataFrame:
+    """SELECT key_col, SUM(val_col) GROUP BY key_col over the chunk store.
+
+    Per chunk the kernel pairs the key column's CODE-domain view
+    (``select.column_codes_string`` — dict chunks never materialize a row
+    string) with one decode of the measure column, and accumulates exact
+    per-group sums with integer ``add.at`` on split 32-bit halves (no
+    float64 weights, so sums stay exact for full-range int64). The shuffle
+    carries at most ``n_distinct`` partial rows per chunk — (key, hi, lo,
+    nn) — and the final groupBy reassembles ``hi·2^32 + lo`` in decimal.
+    SQL semantics: null measure values are skipped, a group whose values
+    are all null sums to NULL, and null keys form their own group. Output
+    columns: ``<key_col>``, ``sum_<val_col>`` (decimal(38,0)).
+    """
+    from ..chunkstore import load_store_schema
+    from ..select import column_codes_string, column_decode_i64
+
+    colspecs, _ = load_schema(store)
+    logical_of = dict(colspecs)
+    if logical_of[key_col] != "string":
+        raise ValueError("group_sum_string_table groups by a string column")
+    if logical_of[val_col] not in _INT_LOGICALS:
+        raise ValueError(f"group_sum_string_table sums int/timestamp columns, got {logical_of[val_col]}")
+    v_logical = logical_of[val_col]
+    linked = load_store_schema(store).get("linked_cols") or {}
+    comp_name = linked.get(val_col)
+    read_cols = list(dict.fromkeys([key_col, val_col] + ([comp_name] if comp_name else [])))
+    leaves = [F.col("n_rows")] + [
+        F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in read_cols
+    ]
+    sel = read_chunks(spark, store, leaves=leaves)
+
+    def kernel(batches):
+        for pdf in batches:
+            keys: list = []
+            his: list = []
+            los: list = []
+            nns: list = []
+            for i in range(len(pdf)):
+                n = int(pdf["n_rows"].iloc[i])
+                uniq, codes, valid_k = column_codes_string(
+                    bytes(pdf[f"p_{key_col}"].iloc[i]), n
+                )
+                companion = None
+                if comp_name is not None:
+                    companion = (bytes(pdf[f"p_{comp_name}"].iloc[i]), logical_of[comp_name])
+                v64, valid_v = column_decode_i64(
+                    bytes(pdf[f"p_{val_col}"].iloc[i]), n, v_logical, companion=companion
+                )
+                K = len(uniq)
+                # group id per row: 0..K-1 = dictionary code, K = NULL key
+                if valid_k is None:
+                    g = codes
+                else:
+                    g = np.full(n, K, dtype=np.int64)
+                    g[np.flatnonzero(valid_k)] = codes
+                if valid_v is None:
+                    gv, sv = g, v64
+                else:
+                    gv, sv = g[valid_v], v64
+                acc_hi = np.zeros(K + 1, np.int64)
+                acc_lo = np.zeros(K + 1, np.int64)
+                np.add.at(acc_hi, gv, sv >> np.int64(32))
+                np.add.at(acc_lo, gv, sv & np.int64(0xFFFFFFFF))
+                nn = np.bincount(gv, minlength=K + 1)
+                present = np.bincount(g, minlength=K + 1) > 0
+                names = uniq.to_pylist() + [None]
+                for j in np.flatnonzero(present):
+                    keys.append(names[j])
+                    his.append(int(acc_hi[j]))
+                    los.append(int(acc_lo[j]))
+                    nns.append(int(nn[j]))
+            yield pd.DataFrame(
+                {
+                    key_col: pd.array(keys, dtype=object),
+                    "hi": pd.array(his, dtype="int64"),
+                    "lo": pd.array(los, dtype="int64"),
+                    "nn": pd.array(nns, dtype="int64"),
+                }
+            )
+
+    partials = sel.mapInPandas(
+        kernel,
+        T.StructType(
+            [
+                T.StructField(key_col, T.StringType(), True),
+                T.StructField("hi", T.LongType(), False),
+                T.StructField("lo", T.LongType(), False),
+                T.StructField("nn", T.LongType(), False),
+            ]
+        ),
+    )
+    dec = T.DecimalType(38, 0)
+    total = (
+        F.sum("hi").cast(dec) * F.lit(1 << 32).cast(dec) + F.sum("lo").cast(dec)
+    ).cast(dec)
+    return partials.groupBy(key_col).agg(
+        F.when(F.sum("nn") > 0, total).otherwise(F.lit(None).cast(dec)).alias(f"sum_{val_col}")
+    )
+
+
+def count_distinct_string(spark: SparkSession, store: str, column: str) -> DataFrame:
+    """COUNT(DISTINCT column) over a string column of the chunk store.
+
+    Per chunk the kernel emits each distinct value ONCE (dict chunks: the
+    stored dictionary restricted to codes in use — no row string
+    materialized; other codecs: one decode + Arrow ``value_counts``), so the
+    shuffle carries ≤ n_distinct rows per chunk and Spark's two-phase
+    ``count_distinct`` dedups map-side first. NULL is excluded, per SQL.
+    Output column: ``ndv_<col>``.
+    """
+    import pyarrow as pa
+
+    from ..select import column_value_counts_string
+
+    colspecs, _ = load_schema(store)
+    if dict(colspecs)[column] != "string":
+        raise ValueError("count_distinct_string supports string columns")
+    sel = read_chunks(
+        spark,
+        store,
+        leaves=[F.col("n_rows"), F.col(f"{col_field(column)}.payload").alias("p")],
+    )
+
+    def kernel(batches):
+        for rb in batches:
+            n_rows = rb.column(rb.schema.get_field_index("n_rows"))
+            payloads = rb.column(rb.schema.get_field_index("p"))
+            vals: list = []
+            for i in range(rb.num_rows):
+                uniq, _counts, _nulls = column_value_counts_string(
+                    bytes(payloads[i].as_py()), int(n_rows[i].as_py())
+                )
+                vals.extend(uniq.to_pylist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vals, pa.string())], names=[column]
+            )
+
+    partials = sel.mapInArrow(
+        kernel, T.StructType([T.StructField(column, T.StringType(), False)])
+    )
+    return partials.agg(F.count_distinct(F.col(column)).alias(f"ndv_{column}"))

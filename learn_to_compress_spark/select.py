@@ -765,6 +765,48 @@ def decode_int_column_arrow(payload: bytes, n: int, logical: str, companion=None
     return pa.array(np_out, mask=~valid)
 
 
+def column_codes_string(payload: bytes, n: int):
+    """Dictionary-encoded view of a framed string column, for group-aggregate
+    kernels: ``(uniques pa.Array(large_string), codes int64[] dense over
+    non-null slots, valid mask or None)``.
+
+    Dict-coded chunks return the stored dictionary + int codes directly —
+    the CODE domain, no row string materialized (``DictStringCodec.codes``);
+    other codecs decode once and factorize with Arrow's C++
+    ``dictionary_encode``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    if not n_valid:
+        return pa.array([], type=pa.large_string()), np.empty(0, np.int64), valid
+    name = STRING_CODEC_NAMES[payload[off]]
+    codec = STRING_CODEC_CLASSES[name]()
+    if hasattr(codec, "codes"):
+        uniq, codes = codec.codes(payload[off + 1 :], n_valid)
+        return uniq.cast(pa.large_string()), codes, valid
+    denc = pc.dictionary_encode(codec.decode(payload[off + 1 :], n_valid))
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return denc.dictionary.cast(pa.large_string()), codes, valid
+
+
+def column_sum_at(payload: bytes, n: int, logical: str, positions, companion=None):
+    """Exact SUM of the column's values at the given row positions, skipping
+    null slots: ``(sum int, n_nonnull int)``. Timestamps sum in µs."""
+    positions = np.asarray(positions, dtype=np.int64)
+    v64, valid = column_decode_i64(payload, n, logical, companion=companion)
+    if valid is not None:
+        keep = valid[positions]
+        dense_of_row = np.cumsum(valid) - 1
+        sel = v64[dense_of_row[positions[keep]]]
+    else:
+        sel = v64[positions]
+    hi = int((sel >> np.int64(32)).sum(dtype=np.int64))
+    lo = int((sel & np.int64(0xFFFFFFFF)).sum(dtype=np.int64))
+    return (hi << 32) + lo, int(len(sel))
+
+
 def decode_string_column_arrow(payload: bytes, n: int, logical: str = "string"):
     import pyarrow as pa
 
