@@ -48,6 +48,13 @@ def pack_unsigned(values: np.ndarray, l: int) -> np.ndarray:
     n = values.size
     if l == 0 or n == 0:
         return np.zeros(0, dtype=np.uint8)
+    if n * l <= 1 << 20:
+        # small inputs (segment streams): one broadcast beats l python-level
+        # column passes; the 8-byte/bit intermediate is ≤ 8 MiB here
+        bits = (
+            (values[:, None] >> np.arange(l, dtype=_U64)[None, :]) & _ONE
+        ).astype(np.uint8)
+        return np.packbits(bits.reshape(-1), bitorder="little")
     # column-wise bit extraction keeps the intermediate at 1 byte/bit
     # (a values[:,None] >> shifts broadcast would hold 8 bytes/bit)
     bits = np.empty((n, l), dtype=np.uint8)

@@ -27,9 +27,31 @@ import struct
 import numpy as np
 
 from ..bitpack import pack_signmag, unpack_signmag
-from .base import IntCodec, bits_int, preds_castable
+from .base import PRED_SAFE_MAX, IntCodec, bits_int, preds_castable
 
 _SEG_META = 4 + 1 + 8 + 8  # start:u32 + bit:u8 + theta0:f64 + theta1:f64
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized ``int.bit_length()`` for uint64 arrays — float log2
+    estimate with exact shift-based correction (log2 alone mis-rounds near
+    2^k for k > 52)."""
+    l = np.zeros(x.size, dtype=np.int64)
+    nz = x > 0
+    if not nz.any():
+        return l
+    est = np.ones(x.size, np.int64)
+    est[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(np.int64) + 1
+    est = np.clip(est, 1, 64)
+    for _ in range(2):
+        sh = np.minimum(est, 63).astype(np.uint64)
+        inc = nz & (est < 64) & ((x >> sh) != 0)
+        est[inc] += 1
+        shm = np.clip(est - 1, 0, 63).astype(np.uint64)
+        dec = nz & ((x >> shm) == 0)
+        est[dec] -= 1
+    l[nz] = est[nz]
+    return l
 
 _XBUF = np.arange(4096, dtype=np.float64)
 
@@ -140,6 +162,119 @@ class LecoVarCodec(IntCodec):
             return cost, self.width, theta0, theta1, amax
         return _SEG_META + (-(-(e - s) * l // 8)), l, theta0, theta1, amax
 
+    def _seg_cost_batch(self, y64, fitter, starts, ends):
+        """Vectorized :meth:`_seg_cost` over many (possibly overlapping)
+        windows — one concatenated gather + ``reduceat`` sweeps instead of a
+        Python call per window. Bit-equivalent to the scalar path (same
+        operation order everywhere); the one spot float batching could
+        diverge (integer midpoint with |extremum| ≥ 2^52) falls back to the
+        scalar method per window. Returns parallel lists of
+        ``(cost, l, theta0, theta1, amax)`` tuples.
+        """
+        S = np.asarray(starts, dtype=np.int64)
+        E = np.asarray(ends, dtype=np.int64)
+        W = S.size
+        if W == 0:
+            return []
+        lens = E - S
+        total = int(lens.sum())
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # vectorized O(1) fits (same op order as _Fitter.fit)
+        sy = fitter.Py[E] - fitter.Py[S]
+        sgy = fitter.Pgy[E] - fitter.Pgy[S]
+        sg = fitter.Pg[E] - fitter.Pg[S]
+        sgg = fitter.Pgg[E] - fitter.Pgg[S]
+        sx = sg - S * lens
+        sxy = sgy - S * sy
+        sxx = sgg - 2 * S * sg + S * S * lens
+        xxx = sxx * lens - sx * sx
+        unsafe = (lens <= 1) | (xxx == 0)
+        xxx_div = np.where(unsafe, 1.0, xxx)
+        theta1 = np.where(unsafe, 0.0, (sxy * lens - sx * sy) / xxx_div)
+        theta0 = np.where(
+            unsafe, sy / np.maximum(lens, 1), (sy - theta1 * sx) / lens
+        )
+
+        # concatenated window layout
+        gidx = np.arange(total, dtype=np.int64) - np.repeat(offs, lens) + np.repeat(S, lens)
+        x = (np.arange(total, dtype=np.int64) - np.repeat(offs, lens)).astype(np.float64)
+        yv = y64[gidx]
+        t0r = np.repeat(theta0, lens)
+        t1r = np.repeat(theta1, lens)
+        predf = t0r + t1r * x
+        errf = yv - predf
+        red = offs  # reduceat boundaries (windows back-to-back in concat space)
+        absr = np.abs(predf)
+        pmax = np.maximum.reduceat(absr, red)
+        castable = np.isfinite(pmax) & (pmax < PRED_SAFE_MAX)
+
+        # integer-domain err where castable (clip keeps the cast defined for
+        # discarded windows without warnings)
+        pred_safe = np.clip(predf, -PRED_SAFE_MAX, PRED_SAFE_MAX)
+        err_i = yv - pred_safe.astype(np.int64)
+        emax_i = np.maximum.reduceat(err_i, red)
+        emin_i = np.minimum.reduceat(err_i, red)
+        emax_f = np.maximum.reduceat(errf, red)
+        emin_f = np.minimum.reduceat(errf, red)
+        # scalar fallback where the float midpoint could round differently
+        # from python's arbitrary-precision (int(max)+int(min))/2.0
+        need_scalar = castable & (
+            (np.abs(emax_i) >= 2**52) | (np.abs(emin_i) >= 2**52)
+        )
+        mid = np.where(
+            castable,
+            (emax_i.astype(np.float64) + emin_i.astype(np.float64)) / 2.0,
+            (emax_f + emin_f) / 2.0,
+        )
+        hf = emax_f
+
+        best_m = np.full(W, np.iinfo(np.uint64).max, dtype=np.uint64)
+        best_t0 = theta0.copy()
+        best_amax = np.zeros(W, dtype=np.int64)
+        any_ok = np.zeros(W, dtype=bool)
+        arange_total = np.arange(total, dtype=np.int64)
+        for shift in (mid, hf):
+            pred2f = predf + np.repeat(shift, lens)
+            p2max = np.maximum.reduceat(np.abs(pred2f), red)
+            ok = np.isfinite(shift) & np.isfinite(p2max) & (p2max < PRED_SAFE_MAX)
+            err2 = yv - np.clip(pred2f, -PRED_SAFE_MAX, PRED_SAFE_MAX).astype(np.int64)
+            mag2 = np.abs(err2).view(np.uint64)
+            m2 = np.maximum.reduceat(mag2, red)
+            hit = mag2 == np.repeat(m2, lens)
+            firstidx = np.minimum.reduceat(
+                np.where(hit, arange_total, total), red
+            )
+            amax2 = firstidx - offs
+            # strict <: the first usable candidate (mid) wins ties
+            better = ok & (~any_ok | (m2 < best_m))
+            best_m = np.where(better, m2, best_m)
+            best_t0 = np.where(better, theta0 + shift, best_t0)
+            best_amax = np.where(better, amax2, best_amax)
+            any_ok |= ok
+
+        l_arr = _bitlen_u64(best_m) + 1
+        l_arr[best_m == 0] = 0
+        itemsize = self.dtype.itemsize
+        raw_cost = _SEG_META + lens * itemsize
+        packed_cost = _SEG_META + -(-lens * l_arr // 8)
+        out = []
+        for i in range(W):
+            if need_scalar[i]:
+                out.append(self._seg_cost(y64, fitter, int(S[i]), int(E[i])))
+            elif not any_ok[i]:  # both recenter candidates overflow → raw
+                out.append(
+                    (int(raw_cost[i]), self.width, float(theta0[i]), float(theta1[i]), 0)
+                )
+            elif l_arr[i] >= self.width:
+                out.append(
+                    (int(raw_cost[i]), self.width, float(best_t0[i]), float(theta1[i]), int(best_amax[i]))
+                )
+            else:
+                out.append(
+                    (int(packed_cost[i]), int(l_arr[i]), float(best_t0[i]), float(theta1[i]), int(best_amax[i]))
+                )
+        return out
+
     def encode(self, values: np.ndarray) -> bytes:
         # no errstate suppression: every float→int64 cast is guarded by
         # preds_castable, so a warning here is a real bug (pytest errors on it)
@@ -163,32 +298,62 @@ class LecoVarCodec(IntCodec):
             if jumps.size and jumps.size < n // _MIN_SEG:
                 bounds = sorted({0, n, *jumps.tolist()})
 
-        # phase 1 — recursive exact-cost split within each initial segment
+        # phase 1 — recursive exact-cost split, driven FRONTIER-AT-A-TIME so
+        # every level's candidate windows price in ONE `_seg_cost_batch`
+        # sweep (a Python call per window was the encode hot spot; the
+        # decisions are identical to the per-window recursion)
         segments: list[tuple[int, int, int, float, float]] = []  # s, e, l, t0, t1
-        stack = list(zip(bounds[:-1], bounds[1:]))
-        while stack:
-            s, e = stack.pop()
-            cost, l, t0, t1, amax = self._seg_cost(y64, fitter, s, e)
-            if e - s >= 2 * _MIN_SEG:
-                k = int(np.clip(s + amax, s + _MIN_SEG, e - _MIN_SEG))
-                cl, *_ = self._seg_cost(y64, fitter, s, k)
-                cr, *_ = self._seg_cost(y64, fitter, k, e)
-                if cl + cr < cost:
-                    stack.append((k, e))
-                    stack.append((s, k))
-                    continue
-            segments.append((s, e, l, t0, t1))
+        init = self._seg_cost_batch(y64, fitter, bounds[:-1], bounds[1:])
+        frontier = [
+            (s, e, *c) for (s, e), c in zip(zip(bounds[:-1], bounds[1:]), init)
+        ]
+        while frontier:
+            splittable, ks = [], []
+            for w in frontier:
+                s, e, cost, l, t0, t1, amax = w
+                # a zero-width segment is already optimal: splitting can
+                # only add per-segment metadata
+                if l and e - s >= 2 * _MIN_SEG:
+                    ks.append(int(np.clip(s + amax, s + _MIN_SEG, e - _MIN_SEG)))
+                    splittable.append(w)
+                else:
+                    segments.append((s, e, l, t0, t1))
+            if not splittable:
+                break
+            starts = []
+            ends = []
+            for (s, e, *_), k in zip(splittable, ks):
+                starts += [s, k]
+                ends += [k, e]
+            child = self._seg_cost_batch(y64, fitter, starts, ends)
+            frontier = []
+            for j, ((s, e, cost, l, t0, t1, amax), k) in enumerate(zip(splittable, ks)):
+                left, right = child[2 * j], child[2 * j + 1]
+                if left[0] + right[0] < cost:
+                    frontier.append((s, k, *left))
+                    frontier.append((k, e, *right))
+                else:
+                    segments.append((s, e, l, t0, t1))
         segments.sort(key=lambda t: t[0])
 
         # phase 2 — merge adjacent segments while total bytes decline
         # (reference merge loop :517-534, merge_both_direction :590-680);
         # pass count capped: the reference iterates to <0.01 % gain, but ≥95 %
-        # of the gain lands in the first two passes and each pass is O(total)
+        # of the gain lands in the first two passes and each pass is O(total).
+        # All adjacent pairs price in one batch; the greedy walk then uses
+        # the precomputed costs (identical decisions — the walk only ever
+        # consults the pair cost at its current position).
         changed = True
         passes = 0
         while changed and len(segments) > 1 and passes < 3:
             passes += 1
             changed = False
+            pair_costs = self._seg_cost_batch(
+                y64,
+                fitter,
+                [seg[0] for seg in segments[:-1]],
+                [seg[1] for seg in segments[1:]],
+            )
             merged: list[tuple[int, int, int, float, float]] = []
             i = 0
             while i < len(segments):
@@ -198,7 +363,7 @@ class LecoVarCodec(IntCodec):
                     c_sep = (
                         self._ser_bytes(e0 - s0, l0) + self._ser_bytes(e1 - s1, l1)
                     )
-                    cm, lm, tm0, tm1, _ = self._seg_cost(y64, fitter, s0, e1)
+                    cm, lm, tm0, tm1, _ = pair_costs[i]
                     if cm < c_sep:
                         merged.append((s0, e1, lm, tm0, tm1))
                         i += 2
@@ -220,18 +385,19 @@ class LecoVarCodec(IntCodec):
         so at ~2^63 magnitudes the two can differ by an ulp. Truncating a
         magnitude at pack time corrupts data; one extra bit never does.
         """
-        header = [struct.pack("<I", len(segments))]
+        metas = np.empty(
+            len(segments), dtype=np.dtype([("l", "u1"), ("t0", "<f8"), ("t1", "<f8")])
+        )
         starts = np.array([s for s, *_ in segments], dtype=np.uint32)
-        header.append(starts.tobytes())
         payloads = []
-        for s, e, l, t0, t1 in segments:
+        for i, (s, e, l, t0, t1) in enumerate(segments):
             err = None
             if 0 < l < self.width:
                 err, _ = self._seg_resid(y64, s, e, t0, t1)
                 mag = np.abs(err).view(np.uint64)
                 mx = int(mag.max()) if mag.size else 0
                 l = max(l, bits_int(mx) + 1 if mx else 0)
-            header.append(struct.pack("<Bdd", min(l, self.width), t0, t1))
+            metas[i] = (min(l, self.width), t0, t1)
             if l == 0:
                 continue
             if l >= self.width:
@@ -239,16 +405,19 @@ class LecoVarCodec(IntCodec):
                 continue
             sign = err > 0
             payloads.append(pack_signmag(sign, mag, l).tobytes())
-        return b"".join(header + payloads)
+        return b"".join(
+            [struct.pack("<I", len(segments)), starts.tobytes(), metas.tobytes()]
+            + payloads
+        )
+
+    _META_DTYPE = np.dtype([("l", "u1"), ("t0", "<f8"), ("t1", "<f8")])  # 17B packed
 
     def _parse(self, payload: bytes):
         (n_segs,) = struct.unpack_from("<I", payload, 0)
         starts = np.frombuffer(payload, np.uint32, count=n_segs, offset=4)
         off = 4 + 4 * n_segs
-        metas = []
-        for i in range(n_segs):
-            l, t0, t1 = struct.unpack_from("<Bdd", payload, off + i * 17)
-            metas.append((l, t0, t1))
+        m = np.frombuffer(payload, self._META_DTYPE, count=n_segs, offset=off)
+        metas = list(zip(m["l"].tolist(), m["t0"].tolist(), m["t1"].tolist()))
         return starts.astype(np.int64), metas, off + 17 * n_segs
 
     def decode(self, payload: bytes, n: int) -> np.ndarray:

@@ -94,7 +94,9 @@ def _encode_one(ser: pd.Series, logical: str) -> tuple[str, bytes, dict]:
     return _encode_one_arrow(col, logical)
 
 
-def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str, bytes, dict]:
+def _encode_one_arrow(
+    col, logical: str, selection: str = "exact", memo=None
+) -> tuple[str, bytes, dict]:
     """Encode one Arrow column chunk — no Python objects on the hot path.
 
     Returns ``(codec_name, payload, info)`` where info carries the chunk
@@ -149,7 +151,7 @@ def _encode_one_arrow(col, logical: str, selection: str = "exact") -> tuple[str,
         raw = 8 * len(nonnull)
     else:
         raw_vals = nonnull.to_numpy(zero_copy_only=False)
-        name, payload = encode_int_values(raw_vals, mask, logical, int_sel)
+        name, payload = encode_int_values(raw_vals, mask, logical, int_sel, memo=memo)
         raw = (4 if logical == "int32" else 8) * len(nonnull)
         if len(nonnull):
             if logical.startswith("timestamp"):
@@ -247,6 +249,10 @@ def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None):
 
     def kernel(batches):
         seqs: dict[int, int] = {}
+        # per-column race memos live for the whole partition: adaptive
+        # candidate pruning amortizes the costly poly2/spline/outlier/var
+        # races across a column's chunks (select.RACE_PATIENCE)
+        race_memos: dict[str, dict] = {name: {} for name, _ in colspecs}
         for rb in batches:
             parts_np = rb.column(rb.schema.get_field_index("_part_id")).to_numpy(
                 zero_copy_only=False
@@ -273,7 +279,9 @@ def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None):
                         col = sl.column(sl.schema.get_field_index(name))
                         if name in linked or name in linked.values():
                             chunk_cols[name] = col
-                        codec, payload, info = _encode_one_arrow(col, logical, selection)
+                        codec, payload, info = _encode_one_arrow(
+                            col, logical, selection, memo=race_memos[name]
+                        )
                         d = per_col[name]
                         d["codec"].append(codec)
                         d["payload"].append(payload)

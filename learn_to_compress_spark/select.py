@@ -156,8 +156,44 @@ def _pick_int_codec(vals: np.ndarray, dtype) -> str:
     return min(sizes, key=sizes.get)
 
 
+# Adaptive race pruning (per-column, inside one encode kernel): a costly
+# candidate (poly2/spline/outlier fit, leco_var segmentation) that lost its
+# last RACE_PATIENCE eligible races on a column is benched and re-tried once
+# every RACE_RECHECK eligible chunks — the streaming analogue of the
+# reference's sampled per-method selection (``experiments/best_compress.cpp:
+# 59-86`` benchmarks candidates on sample blocks, then fixes the method).
+# Homogeneous columns (the normal case) pay the full race ≤ PATIENCE times
+# and the cheap analytic race thereafter; a mid-column distribution shift is
+# picked up at the next recheck, bounding any CR give-up to < RECHECK chunks
+# per shift. Callers that want the exhaustive race (tests, parity tooling)
+# simply pass no memo.
+RACE_PATIENCE = 4
+RACE_RECHECK = 16
+
+
+def _race_allowed(memo, cand: str) -> bool:
+    if memo is None:
+        return True
+    losses, since = memo.get(cand, (0, 0))
+    if losses < RACE_PATIENCE:
+        return True
+    since += 1
+    if since >= RACE_RECHECK:
+        memo[cand] = (losses, 0)
+        return True
+    memo[cand] = (losses, since)
+    return False
+
+
+def _race_record(memo, cand: str, won: bool) -> None:
+    if memo is None:
+        return
+    losses, _ = memo.get(cand, (0, 0))
+    memo[cand] = (0 if won else losses + 1, 0)
+
+
 def encode_int_values(
-    raw: np.ndarray, mask, logical: str, selection: str = "exact"
+    raw: np.ndarray, mask, logical: str, selection: str = "exact", memo=None
 ) -> tuple[str, bytes]:
     """Core int/timestamp framing over non-null values + validity mask.
 
@@ -168,7 +204,9 @@ def encode_int_values(
     poly2/leco_var races), or "force:<codec>" (pin a registry codec for
     every chunk — the per-codec verification seam, mirroring the
     reference's fixed-method drivers ``experiments/best_compress.cpp:114-133``;
-    correctness is unaffected because every codec roundtrips exactly)."""
+    correctness is unaffected because every codec roundtrips exactly).
+    ``memo``: optional per-column mutable dict enabling adaptive race
+    pruning across the chunks of one column (see ``RACE_PATIENCE``)."""
     udtype = np.dtype(_UNSIGNED_OF[logical])
     width = udtype.itemsize * 8
     stype = np.dtype(np.int32) if width == 32 else np.dtype(np.int64)
@@ -213,14 +251,17 @@ def encode_int_values(
         and vals.size >= 256
         and name in ("leco", "for", "delta")
         and len(payload) > 0.02 * vals.nbytes
+        and _race_allowed(memo, "poly2")
     ):
         from .codecs.poly import Poly2Codec
 
+        won = False
         p2 = Poly2Codec(udtype)
         if p2.size_bytes(vals) < len(payload):
             cand = p2.encode(vals)
             if len(cand) < len(payload):
-                name, payload = "poly2", cand
+                name, payload, won = "poly2", cand, True
+        _race_record(memo, "poly2", won)
     # LeCo_outlier (operator #17, piecewise_ransac/outlier_detect): spikes
     # in an otherwise-modelable column blow the fixed residual width; the
     # exception-list codec keeps the narrow bulk width. Raced under the same
@@ -233,27 +274,33 @@ def encode_int_values(
         and vals.size >= 256
         and name in ("leco", "for", "delta", "poly2")
         and len(payload) > 0.02 * vals.nbytes
+        and _race_allowed(memo, "spline")
     ):
         from .codecs.spline import SplineCodec
 
+        won = False
         sp = SplineCodec(udtype)
         if sp.size_bytes(vals) < len(payload):
             cand = sp.encode(vals)
             if len(cand) < len(payload):
-                name, payload = "spline", cand
+                name, payload, won = "spline", cand, True
+        _race_record(memo, "spline", won)
     if (
         selection == "exact"
         and vals.size >= 256
         and name in ("leco", "for", "delta", "poly2", "spline")
         and len(payload) > 0.02 * vals.nbytes
+        and _race_allowed(memo, "outlier")
     ):
         from .codecs.outlier import LecoOutlierCodec
 
+        won = False
         oc = LecoOutlierCodec(udtype)
         if oc.size_bytes(vals) < len(payload):
             cand = oc.encode(vals)
             if len(cand) < len(payload):
-                name, payload = "leco_outlier", cand
+                name, payload, won = "leco_outlier", cand, True
+        _race_record(memo, "outlier", won)
     # Variable segmentation has no closed-form size; try it only where it
     # can plausibly win — a modelable column whose best fixed codec is still
     # mediocre — and keep the smaller payload. LeCo_var (operator #10) races
@@ -264,15 +311,18 @@ def encode_int_values(
         and vals.size >= 4096
         and name in ("leco", "for", "delta", "poly2", "spline", "leco_outlier")
         and len(payload) > 0.05 * vals.nbytes
+        and _race_allowed(memo, "var")
     ):
         fixed_name = name
+        won = False
         var_payload = int_codec("leco_var", udtype).encode(vals)
         if len(var_payload) < len(payload):
-            name, payload = "leco_var", var_payload
+            name, payload, won = "leco_var", var_payload, True
         if fixed_name == "delta":
             dv = int_codec("delta_var", udtype).encode(vals)
             if len(dv) < len(payload):
-                name, payload = "delta_var", dv
+                name, payload, won = "delta_var", dv, True
+        _race_record(memo, "var", won)
     parts = [bytes([flags])]
     if mask is not None:
         parts.append(np.packbits(~mask, bitorder="little").tobytes())

@@ -1091,3 +1091,120 @@ def test_spline_recenter_reassociation_regression():
     payload = codec.encode(vals)
     np.testing.assert_array_equal(codec.decode(payload, vals.size), vals)
     assert codec.sum(payload, vals.size) == int(vals.sum(dtype=object))
+
+
+def test_race_memo_benches_losing_candidates(monkeypatch):
+    """Adaptive race pruning: a candidate that keeps losing on a column is
+    benched after RACE_PATIENCE tries and only re-raced every RACE_RECHECK
+    chunks — memo-less callers still get the exhaustive race."""
+    from learn_to_compress_spark import select as S
+    from learn_to_compress_spark.codecs.poly import Poly2Codec
+
+    calls = {"n": 0}
+    orig = Poly2Codec.size_bytes
+
+    def counting(self, vals):
+        calls["n"] += 1
+        return orig(self, vals)
+
+    monkeypatch.setattr(Poly2Codec, "size_bytes", counting)
+    rng = np.random.default_rng(3)
+    # uniform noise: 'for' wins at ~62% CR (gate passes), poly2 always loses
+    chunks = [rng.integers(0, 2**40, 8192, dtype=np.uint64) for _ in range(40)]
+
+    for ch in chunks:
+        name, _ = S.encode_int_values(ch, None, "int64")
+    assert calls["n"] == 40  # no memo → every chunk races
+
+    calls["n"] = 0
+    memo: dict = {}
+    for ch in chunks:
+        S.encode_int_values(ch, None, "int64", memo=memo)
+    # PATIENCE initial tries + one recheck per RECHECK benched chunks
+    assert calls["n"] <= S.RACE_PATIENCE + 40 // S.RACE_RECHECK + 1
+    assert calls["n"] >= S.RACE_PATIENCE
+
+
+def test_race_memo_recovers_after_distribution_shift():
+    """A benched candidate is re-raced at the recheck boundary, so a
+    mid-column shift to poly2-shaped data is picked up within RACE_RECHECK
+    chunks and sticks thereafter."""
+    from learn_to_compress_spark import select as S
+
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 2**40, 8192, dtype=np.uint64)
+    x = np.arange(8192, dtype=np.float64)
+    quad = ((x * x) / 3.0 + rng.integers(0, 7, 8192)).astype(np.uint64)
+
+    memo: dict = {}
+    names = []
+    for _ in range(S.RACE_PATIENCE + 2):  # bench the nonlinear candidates
+        names.append(S.encode_int_values(noise, None, "int64", memo=memo)[0])
+    for _ in range(2 * S.RACE_RECHECK):
+        names.append(S.encode_int_values(quad, None, "int64", memo=memo)[0])
+    # memo-less race on the quad chunk must pick a nonlinear codec…
+    exhaustive = S.encode_int_values(quad, None, "int64")[0]
+    assert exhaustive in ("poly2", "spline", "leco_var", "leco_var_dp")
+    # …and the memo'd stream recovers it within one recheck period, then
+    # keeps it (the win resets the loss streak)
+    tail = names[S.RACE_PATIENCE + 2 + S.RACE_RECHECK :]
+    assert exhaustive in tail
+    assert names[-1] == exhaustive
+
+
+def test_bitlen_u64_exact():
+    from learn_to_compress_spark.codecs.leco_var import _bitlen_u64
+
+    vals = [0, 1, 2, 3, 4, 7, 8, (1 << 52) - 1, 1 << 52, (1 << 52) + 1,
+            (1 << 53) - 1, 1 << 53, (1 << 63) - 1, 1 << 63, (1 << 64) - 1]
+    rng = np.random.default_rng(2)
+    vals += [int(x) for x in rng.integers(0, 2**63, 200, dtype=np.uint64)]
+    arr = np.array(vals, dtype=np.uint64)
+    got = _bitlen_u64(arr)
+    exp = np.array([int(v).bit_length() for v in vals], dtype=np.int64)
+    assert (got == exp).all(), np.flatnonzero(got != exp)
+
+
+def test_leco_var_batch_cost_matches_scalar():
+    """_seg_cost_batch must reproduce the scalar _seg_cost exactly —
+    (cost, l, theta0, theta1, amax) per window — on ramps, jumps, noise and
+    near-2^63 magnitudes."""
+    from learn_to_compress_spark.codecs.leco_var import LecoVarCodec, _Fitter
+
+    rng = np.random.default_rng(17)
+    n = 20000
+    parts = [
+        (np.arange(0, 4000, dtype=np.int64) * 37 + rng.integers(-5, 6, 4000)),
+        rng.integers(-(2**40), 2**40, 4000),
+        np.full(4000, 123456789),
+        (2**62 + np.arange(4000, dtype=np.int64) * 1001),
+        rng.integers(-(2**62), 2**62, 4000),
+    ]
+    y64 = np.concatenate(parts).astype(np.int64)
+    assert y64.size == n
+    c = LecoVarCodec(np.uint64)
+    fitter = _Fitter(y64)
+    # windows of many sizes at many offsets, including overlapping ones
+    starts, ends = [], []
+    for size in (1, 2, 16, 63, 300, 4096):
+        for s in range(0, n - size, max(n // 37, size)):
+            starts.append(s)
+            ends.append(s + size)
+    batch = c._seg_cost_batch(y64, fitter, starts, ends)
+    for (s, e), got in zip(zip(starts, ends), batch):
+        exp = c._seg_cost(y64, fitter, s, e)
+        assert got == exp, (s, e, got, exp)
+
+
+def test_leco_var_roundtrip_after_batch_rewrite():
+    from learn_to_compress_spark.codecs.leco_var import LecoVarCodec
+
+    rng = np.random.default_rng(23)
+    base = np.cumsum(rng.integers(0, 50, 65536, dtype=np.int64))
+    jumps = np.repeat(rng.integers(0, 2**40, 64, dtype=np.int64), 1024)
+    v = (base + jumps).astype(np.uint64)
+    c = LecoVarCodec(np.uint64)
+    p = c.encode(v)
+    assert (c.decode(p, v.size) == v).all()
+    pos = rng.integers(0, v.size, 500)
+    assert (c.gather(p, pos, v.size) == v[pos]).all()
