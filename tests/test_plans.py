@@ -215,3 +215,58 @@ def test_group_count_reads_only_target_payload(spark, tmp_path):
     # one shuffle: the tiny partials aggregation (AQE may plan it as a
     # single Exchange above the MapInArrow kernel)
     assert shuffle_exchanges(df) <= 1, plan
+
+
+def test_sum_filtered_interior_branch_is_metadata_only(spark, tmp_path):
+    """The hybrid SUM-under-filter: the filter column's zone-map predicate
+    is pushed to the Parquet scan, the interior branch reads NO payload
+    bytes (vsum/nvalid metadata only), and only the boundary branch carries
+    a payload leaf into the Python kernel."""
+    import re
+
+    from learn_to_compress_spark.operators import sum_filtered_column
+
+    store = _store(spark, tmp_path, "plan_store_sfc")
+    df = sum_filtered_column(spark, store, "turn_idx", "turn_idx", 50)
+    plan = explain_text(df)
+    # zone predicate reaches the scan (boundary prune: zmax > v)
+    assert any("zmax" in f for f in pushed_filters(df)), pushed_filters(df)
+    # exactly one of the two scans reads payload (the boundary kernel);
+    # the interior scan is pruned to metadata leaves
+    schemas = [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan)]
+    with_payload = [s for s in schemas if "payload" in s]
+    interior = [s for s in schemas if "vsum" in s]
+    assert with_payload and interior, schemas
+    assert all("payload" not in s for s in interior), interior
+    # one aggregation exchange over (partial, nn) rows — nothing else
+    assert shuffle_exchanges(df) <= 1, plan
+
+
+def test_group_sum_reads_only_key_and_measure_payloads(spark, tmp_path):
+    import re
+
+    from learn_to_compress_spark.operators import group_sum_string_table
+
+    store = _store(spark, tmp_path, "plan_store_gs")
+    df = group_sum_string_table(spark, store, "role", "turn_idx")
+    plan = explain_text(df)
+    schemas = " ".join(m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan))
+    assert "c_role" in schemas and "c_turn_idx" in schemas, schemas
+    assert "c_text" not in schemas and "c_ts" not in schemas, schemas
+    # one shuffle: the (key, hi, lo, nn) partials aggregation
+    assert shuffle_exchanges(df) <= 1, plan
+
+
+def test_count_distinct_reads_only_target_payload(spark, tmp_path):
+    import re
+
+    from learn_to_compress_spark.operators import count_distinct_string
+
+    store = _store(spark, tmp_path, "plan_store_ndv")
+    df = count_distinct_string(spark, store, "role")
+    plan = explain_text(df)
+    schemas = " ".join(m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan))
+    assert "c_role" in schemas, schemas
+    assert "c_text" not in schemas and "c_ts" not in schemas, schemas
+    # two-phase distinct aggregation: at most two exchanges of <= ndv rows
+    assert shuffle_exchanges(df) <= 2, plan
