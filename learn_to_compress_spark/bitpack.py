@@ -68,6 +68,26 @@ def unpack_unsigned(buf: np.ndarray | bytes, n: int, l: int) -> np.ndarray:
     if l == 0 or n == 0:
         return np.zeros(n, dtype=_U64)
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if 4 <= l <= 56:
+        # 64-bit-window decode: each slot lives inside the little-endian
+        # 8-byte window at its byte offset (bit offset ≤ 7, so bitoff + l
+        # ≤ 63 + 1) — ONE unaligned-u64 gather + one shift instead of l
+        # per-bit passes. The byte-strided u64 view makes every byte
+        # offset addressable without materializing an (n, 8) window.
+        # Below 4 bits the per-bit loop moves less memory and wins.
+        bit0 = np.arange(n, dtype=np.int64) * l
+        byte0 = bit0 >> 3
+        shift = (bit0 & 7).astype(_U64)
+        need = int(byte0[-1]) + 8
+        if raw.size < need:
+            pad = np.zeros(need, dtype=np.uint8)
+            pad[: raw.size] = raw
+            raw = pad
+        raw = np.ascontiguousarray(raw)
+        view = np.ndarray(
+            buffer=raw.data, dtype=np.dtype("<u8"), shape=(raw.size - 7,), strides=(1,)
+        )
+        return (view[byte0] >> shift) & _mask(l)
     bits = np.unpackbits(raw, count=n * l, bitorder="little").reshape(n, l)
     out = np.zeros(n, dtype=_U64)
     for j in range(l):
@@ -113,11 +133,11 @@ def gather_unsigned(buf: np.ndarray | bytes, positions: np.ndarray, l: int) -> n
     bit0 = pos * l
     byte0 = bit0 >> 3
     bitoff = (bit0 & 7).astype(_U64)
-    window = padded[byte0[:, None] + np.arange(9)]
-    word = np.zeros(pos.size, dtype=_U64)
-    for k in range(8):
-        word |= window[:, k].astype(_U64) << _U64(8 * k)
-    hi = window[:, 8].astype(_U64)
+    view = np.ndarray(
+        buffer=padded.data, dtype=np.dtype("<u8"), shape=(padded.size - 7,), strides=(1,)
+    )
+    word = view[byte0]
+    hi = padded[byte0 + 8].astype(_U64)
     lo = word >> bitoff
     # avoid shift-by-64: only merge the 9th byte when bitoff > 0
     upshift = (_U64(64) - bitoff) & _U64(63)

@@ -89,7 +89,7 @@ class ForCodec(IntCodec):
         if max_bit == 0:
             return np.full(n, m, dtype=self.dtype)
         resid = unpack_unsigned(np.frombuffer(payload, np.uint8, offset=off), n, max_bit)
-        return (resid.astype(self.dtype) + m).astype(self.dtype)
+        return (resid.astype(self.dtype) + m).astype(self.dtype, copy=False)
 
     def gather(self, payload, positions, n):
         max_bit, m, _mx, off = self._header(payload)
