@@ -574,6 +574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_events_spline": _forced_decode_query(
             "events", ["event_id", "ts", "user_id", "value"], "spline", "ts"
         ),
+        "decode_events_lookahead": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "leco_var_lookahead", "ts"
+        ),
         "decode_documents_word_dict": _forced_decode_query(
             "documents", ["doc_id", "text", "lang", "source"], "word_dict", "text"
         ),
@@ -692,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_events_poly2": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_outlier": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_spline": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_lookahead": "SELECT event_id, ts, user_id, value FROM events",
         "decode_documents_word_dict": "SELECT doc_id, text, lang, source FROM documents",
         "decode_documents_fsst": "SELECT doc_id, text, lang, source FROM documents",
         "decode_customer_leco_str": "SELECT c_custkey, c_name FROM customer",

@@ -11,6 +11,7 @@ from .dict_ import DictCodec
 from .intcodecs import DeltaCodec, ForCodec, LecoFixCodec, RawCodec, RleCodec
 from .leco_var import LecoVarCodec
 from .leco_var_dp import LecoVarDpCodec
+from .leco_var_lookahead import LecoVarLookaheadCodec
 from .linked import LinkedCodec
 from .outlier import LecoOutlierCodec
 from .poly import Poly2Codec
@@ -28,6 +29,7 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "delta_var": DeltaVarCodec,
     "leco_outlier": LecoOutlierCodec,
     "leco_var_dp": LecoVarDpCodec,
+    "leco_var_lookahead": LecoVarLookaheadCodec,
     "linked": LinkedCodec,
     "spline": SplineCodec,
 }
@@ -36,7 +38,8 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
 # (append-only: ids are persisted inside chunk payloads)
 CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
     ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2",
-     "delta_var", "leco_outlier", "leco_var_dp", "linked", "spline"]
+     "delta_var", "leco_outlier", "leco_var_dp", "linked", "spline",
+     "leco_var_lookahead"]
 )}
 CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
 

@@ -323,6 +323,22 @@ def encode_int_values(
             if len(dv) < len(payload):
                 name, payload, won = "delta_var", dv, True
         _race_record(memo, "var", won)
+    # The online lookahead segmenter (piecewise_cost_lookahead.h) races
+    # only where variable segmentation is already in play: its uniform
+    # horizon boundaries beat the top-down argmax split on drift-shaped
+    # random walks (~15 % on cumulative-Poisson sensors), and lose on
+    # jump-segmented data — exactly what the per-column memo arbitrates.
+    if (
+        selection == "exact"
+        and vals.size >= 4096
+        and name in ("leco_var", "delta_var")
+        and _race_allowed(memo, "var_la")
+    ):
+        won = False
+        la = int_codec("leco_var_lookahead", udtype).encode(vals)
+        if len(la) < len(payload):
+            name, payload, won = "leco_var_lookahead", la, True
+        _race_record(memo, "var_la", won)
     parts = [bytes([flags])]
     if mask is not None:
         parts.append(np.packbits(~mask, bitorder="little").tobytes())

@@ -1208,3 +1208,37 @@ def test_leco_var_roundtrip_after_batch_rewrite():
     assert (c.decode(p, v.size) == v).all()
     pos = rng.integers(0, v.size, 500)
     assert (c.gather(p, pos, v.size) == v[pos]).all()
+
+
+def test_lookahead_codec_roundtrip_and_race_value():
+    """leco_var_lookahead (piecewise_cost_lookahead.h role): decodes
+    byte-compatibly with the leco_var layout; the exact race picks the
+    min of both segmenters per chunk — lookahead's uniform horizon wins
+    on drift-shaped random walks, the split+merge heuristic wins on
+    jump-segmented / smooth data."""
+    from learn_to_compress_spark.codecs import int_codec
+    from learn_to_compress_spark.select import encode_int_values
+
+    rng = np.random.default_rng(9)
+    shapes = {
+        "linear": (np.arange(65536, dtype=np.uint64) * 977 + 13),
+        "noisy_ramp": (np.arange(30000, dtype=np.int64) * 500 + 100
+                       + rng.integers(-40, 40, 30000)).astype(np.uint64),
+        "conv_ts": (np.cumsum(rng.integers(0, 3_000_000, 40000))
+                    + np.repeat(rng.integers(0, 2**41, 40), 1000)).astype(np.uint64),
+        "sensor": np.cumsum(rng.poisson(2_000_000, 20000)).astype(np.uint64),
+    }
+    la = int_codec("leco_var_lookahead", np.uint64)
+    lv = int_codec("leco_var", np.uint64)
+    winners = {}
+    for name, v in shapes.items():
+        p = la.encode(v)
+        assert (la.decode(p, v.size) == v).all(), name
+        pos = rng.integers(0, v.size, 200)
+        assert (la.gather(p, pos, v.size) == v[pos]).all(), name
+        # the exact race never does worse than either segmenter alone
+        raced_name, raced = encode_int_values(v, None, "int64")
+        assert len(raced) <= min(len(lv.encode(v)), len(p)) + 2, name
+        winners[name] = raced_name
+    # lookahead carries its weight: it wins at least one realistic shape
+    assert winners["sensor"] == "leco_var_lookahead", winners
