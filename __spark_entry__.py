@@ -455,6 +455,40 @@ def _compacted_decode_query():
     return fn
 
 
+def _snapshot_decode_query():
+    """Iceberg-style snapshot read (time travel): encode the even
+    event_ids, snapshot, append the odd ones, then decode AT THE SNAPSHOT —
+    the result must equal the pre-append table (oracle: WHERE event_id%2=0)
+    even though the store's head now holds every row."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.chunkstore import list_snapshots, snapshot_store
+        from learn_to_compress_spark.jobs import decode_table, encode_table
+
+        _prep(spark)
+        key = hashlib.sha1(
+            f"{os.path.abspath(sf_dir)}::events::snapshot".encode()
+        ).hexdigest()[:16]
+        store = os.path.join(_STORE_ROOT, key, "events")
+        if not os.path.exists(os.path.join(store, "_schema.json")):
+            ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            encode_table(
+                ev.filter(F.col("event_id") % 2 == 0),
+                store, key_cols=("user_id", "ts"), num_parts=16, resume=False,
+            )
+            snapshot_store(spark, store)
+            encode_table(
+                ev.filter(F.col("event_id") % 2 == 1),
+                store, key_cols=("user_id", "ts"), num_parts=16, resume=False,
+            )
+        sid = list_snapshots(store)[0]
+        return decode_table(spark, store, snapshot=sid).select(
+            "event_id", "ts", "user_id", "value"
+        )
+
+    return fn
+
+
 def _window_counts_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.streaming.windows import turns_per_window_batch
@@ -548,6 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_decode_events": _bitmap_query(),
         # maintenance surface: multi-run store → compact → vacuum → decode
         "decode_events_compacted": _compacted_decode_query(),
+        # Iceberg snapshot read (time travel): decode at a pinned snapshot,
+        # ignoring rows appended after it
+        "decode_events_snapshot": _snapshot_decode_query(),
         # CART learned codec selection (op #37): full encode→decode roundtrip
         # with the learned selector choosing every int codec
         "decode_events_learned": _learned_decode_query(),
@@ -706,6 +743,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decode_events_linked": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_compacted": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_snapshot": (
+            "SELECT event_id, ts, user_id, value FROM events WHERE event_id % 2 = 0"
+        ),
         "events_turns_per_window": (
             "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, "
             "CAST(COUNT(*) AS BIGINT) AS n_turns, "

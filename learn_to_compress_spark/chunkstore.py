@@ -139,6 +139,56 @@ def schema_path(store: str) -> str:
     return os.path.join(store, "_schema.json")
 
 
+def snapshots_dir(store: str) -> str:
+    return os.path.join(store, "_snapshots")
+
+
+def snapshot_store(spark: SparkSession, store: str) -> int:
+    """Record an Iceberg-style SNAPSHOT: the currently-committed
+    ``(part_id, run_id)`` set, written as an immutable manifest
+    ``_snapshots/<id>.json`` (atomic ``os.replace``, ids monotone).
+
+    Reads against a snapshot (``decode_table(..., snapshot=id)``) see
+    exactly the rows committed at snapshot time — later appends land in
+    new runs the manifest doesn't name, and a compaction rewrites into new
+    runs while the snapshot keeps pinning the old ones (``vacuum_store``
+    treats snapshot-referenced runs as live; ``drop_snapshot`` is the
+    ``expire_snapshots`` analogue that releases them)."""
+    pairs = [
+        [int(r.part_id), r.run_id]
+        for r in committed_parts(spark, store).collect()
+    ]
+    d = snapshots_dir(store)
+    os.makedirs(d, exist_ok=True)
+    sid = max(list_snapshots(store), default=0) + 1
+    tmp = os.path.join(d, f".{sid}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"runs": pairs}, fh)
+    os.replace(tmp, os.path.join(d, f"{sid}.json"))
+    return sid
+
+
+def list_snapshots(store: str) -> list[int]:
+    d = snapshots_dir(store)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json") and not f.startswith(".")
+    )
+
+
+def snapshot_runs(store: str, snapshot: int) -> list[tuple[int, str]]:
+    with open(os.path.join(snapshots_dir(store), f"{snapshot}.json")) as fh:
+        return [(int(p), r) for p, r in json.load(fh)["runs"]]
+
+
+def drop_snapshot(store: str, snapshot: int) -> None:
+    """Release a snapshot (Iceberg ``expire_snapshots`` analogue): its runs
+    become vacuum-reclaimable unless the current lineage or another
+    snapshot still references them."""
+    os.remove(os.path.join(snapshots_dir(store), f"{snapshot}.json"))
+
+
 def load_store_schema(store: str) -> dict:
     """The persisted table schema + partition-mapping params
     (``colspecs``, ``key_cols``, ``num_parts``, ``salt_block``)."""
@@ -154,7 +204,9 @@ def read_lineage(spark: SparkSession, store: str) -> DataFrame:
         return spark.createDataFrame([], LINEAGE_SCHEMA)
 
 
-def committed_parts(spark: SparkSession, store: str) -> DataFrame:
+def committed_parts(
+    spark: SparkSession, store: str, snapshot: int | None = None
+) -> DataFrame:
     """(part_id, run_id) pairs that are visible.
 
     Every lineage row is a commit: batch resume never re-encodes a committed
@@ -163,7 +215,21 @@ def committed_parts(spark: SparkSession, store: str) -> DataFrame:
     before its lineage write have no pair here and stay invisible — that is
     the Iceberg-style atomicity contract. Lineage rows are unique per
     (part_id, run_id) by construction (one commit row per part per run), so
-    no distinct/aggregation is needed — the read path stays shuffle-free."""
+    no distinct/aggregation is needed — the read path stays shuffle-free.
+
+    ``snapshot``: read the pinned pair set of that snapshot manifest
+    instead of the current lineage (time travel)."""
+    if snapshot is not None:
+        pairs = snapshot_runs(store, snapshot)
+        return spark.createDataFrame(
+            pairs,
+            T.StructType(
+                [
+                    T.StructField("part_id", T.IntegerType(), False),
+                    T.StructField("run_id", T.StringType(), False),
+                ]
+            ),
+        )
     return read_lineage(spark, store).select("part_id", "run_id")
 
 
@@ -172,6 +238,7 @@ def read_chunks(
     store: str,
     columns: list[str] | None = None,
     leaves: list | None = None,
+    snapshot: int | None = None,
 ) -> DataFrame:
     """Visible chunk rows (semi-joined against committed lineage).
 
@@ -192,6 +259,6 @@ def read_chunks(
     elif columns is not None:
         meta = [f.name for f in _META_FIELDS]
         df = df.select(*meta, "run_id", *[col_field(c) for c in columns])
-    commits = committed_parts(spark, store)
+    commits = committed_parts(spark, store, snapshot=snapshot)
     joined = df.join(F.broadcast(commits), ["part_id", "run_id"], "left_semi")
     return joined.drop("part_id", "run_id") if leaves is not None else joined

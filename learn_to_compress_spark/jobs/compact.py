@@ -166,8 +166,10 @@ def compact_store(
 def vacuum_store(spark: SparkSession, store: str) -> dict:
     """Delete unreferenced bytes: run dirs absent from the current lineage
     (compacted-away or crashed-before-commit) and superseded lineage
-    versions. Iceberg ``expire_snapshots`` analogue — run it only once no
-    reader needs the previous snapshot (time travel is traded away here).
+    versions. Runs pinned by a snapshot manifest
+    (``chunkstore.snapshot_store`` — the time-travel surface) stay live;
+    releasing them is an explicit ``drop_snapshot`` (Iceberg
+    ``expire_snapshots``) followed by another vacuum.
 
     Granularity is the RUN directory: a run is reclaimable only when no part
     in it is still referenced, so compacting a subset of parts strands the
@@ -176,6 +178,12 @@ def vacuum_store(spark: SparkSession, store: str) -> dict:
     referenced = {
         r.run_id for r in read_lineage(spark, store).select("run_id").distinct().collect()
     }
+    # snapshots pin their runs (Iceberg: only expire_snapshots releases
+    # them) — drop_snapshot first to reclaim a snapshot's bytes
+    from ..chunkstore import list_snapshots, snapshot_runs
+
+    for sid in list_snapshots(store):
+        referenced |= {run for _p, run in snapshot_runs(store, sid)}
     removed_runs = []
     croot = chunks_path(store)
     for d in os.listdir(croot) if os.path.isdir(croot) else []:

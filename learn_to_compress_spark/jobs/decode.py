@@ -82,8 +82,12 @@ def decode_table(
     store: str,
     columns: list[str] | None = None,
     parts: list[int] | None = None,
+    snapshot: int | None = None,
 ) -> DataFrame:
     """Reassembled table DataFrame from the chunk store (column-prunable).
+
+    ``snapshot``: time travel — decode the rows committed at that snapshot
+    (``chunkstore.snapshot_store``), ignoring later appends/compactions.
 
     Shuffle-free: each chunk row is self-contained, so the kernel decodes it
     where the scan task read it. The ``c_<col>.payload`` leaf selection
@@ -141,6 +145,7 @@ def decode_table(
             F.col("n_rows"),
             *[F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in read_names],
         ],
+        snapshot=snapshot,
     )
     if parts is not None:
         # pushable top-level predicate: parquet row-group stats skip chunk

@@ -173,3 +173,55 @@ def test_compact_preserves_linked_store(spark, tmp_path):
     after = _rows(spark, store)
     assert before["ts"].equals(after["ts"])
     assert before["text"].equals(after["text"])
+
+
+def test_snapshot_time_travel_across_append_and_compaction(spark, tmp_path):
+    """Iceberg-snapshot semantics: a snapshot pins the committed rows —
+    later appends are invisible to it, a compaction (which rewrites into
+    new runs) leaves it intact, vacuum keeps its runs alive, and only
+    drop_snapshot + vacuum reclaims them."""
+    import pandas as pd
+
+    from learn_to_compress_spark.chunkstore import (
+        drop_snapshot,
+        list_snapshots,
+        snapshot_store,
+    )
+    from learn_to_compress_spark.sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 40).cache()
+    store = str(tmp_path / "snap_store")
+    evens = df.filter(F.col("turn_idx") % 2 == 0)
+    odds = df.filter(F.col("turn_idx") % 2 == 1)
+    encode_table(evens, store, num_parts=4, resume=False, chunk_rows=CHUNK)
+    sid = snapshot_store(spark, store)
+    assert list_snapshots(store) == [sid]
+
+    def sorted_pdf(sdf):
+        return (
+            sdf.orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+        )
+
+    before = sorted_pdf(decode_table(spark, store))
+
+    # later append: invisible at the snapshot, visible at head
+    encode_table(odds, store, num_parts=4, resume=False, chunk_rows=CHUNK)
+    pd.testing.assert_frame_equal(
+        sorted_pdf(decode_table(spark, store, snapshot=sid)), before
+    )
+    assert decode_table(spark, store).count() == df.count()
+
+    # compaction rewrites runs; the snapshot still reads the OLD ones, and
+    # vacuum must not reclaim them while the snapshot lives
+    compact_store(spark, store)
+    vacuum_store(spark, store)
+    pd.testing.assert_frame_equal(
+        sorted_pdf(decode_table(spark, store, snapshot=sid)), before
+    )
+    assert decode_table(spark, store).count() == df.count()
+
+    # expire: drop_snapshot + vacuum reclaims the pinned runs
+    drop_snapshot(store, sid)
+    removed = vacuum_store(spark, store)
+    assert removed["removed_runs"], removed
+    assert decode_table(spark, store).count() == df.count()  # head unaffected
