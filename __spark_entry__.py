@@ -244,6 +244,22 @@ def _filter_int_query():
     return fn
 
 
+def _filter_ts_between_query():
+    # Jan 2024 interior week: selective at every sf (seed-42 generator)
+    lo_us = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+    hi_us = 1_705_881_600_000_000  # 2024-01-22T00:00:00Z
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_range_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return filter_range_table(
+            spark, store, "ts", lo_us, hi_us, ["event_id", "user_id", "ts"]
+        )
+
+    return fn
+
+
 def _lookup_eq_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.operators import lookup_eq_table
@@ -567,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # range-filter pushdown: zone maps + model inversion (ops #28, #30, #31)
         "filter_events_ts_gt": _filter_ts_query(),
         "filter_events_userid_gt": _filter_int_query(),
+        # two-sided range (BETWEEN): both bounds by one model inversion each
+        "filter_events_ts_between": _filter_ts_between_query(),
         # equality point-lookup (ops #33, #34)
         "lookup_events_userid_eq": _lookup_eq_query(),
         # string equality pushdown: code-domain compare on dict chunks
@@ -699,6 +717,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "filter_events_userid_gt": (
             "SELECT event_id, user_id FROM events WHERE user_id > 10"
+        ),
+        "filter_events_ts_between": (
+            "SELECT event_id, user_id, ts FROM events "
+            "WHERE ts > TIMESTAMP '2024-01-15 00:00:00' "
+            "AND ts <= TIMESTAMP '2024-01-22 00:00:00'"
         ),
         "lookup_events_userid_eq": (
             "SELECT event_id, user_id, ts FROM events WHERE user_id = 7"

@@ -329,6 +329,43 @@ def filter_prefix_string_table(
     )
 
 
+def filter_range_table(
+    spark: SparkSession,
+    store: str,
+    column: str,
+    lo: int,
+    hi: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """SELECT out_cols WHERE lo < column <= hi — the two-sided range filter
+    (the reference's range driver takes both bounds,
+    ``experiments/leco_int_fix_template.cpp:222-249`` zone check +
+    ``headers/piecewise_fix_integer_template.h:206-252`` ``filter_range``).
+
+    Zone maps prune chunks whose [zmin, zmax] misses (lo, hi] AT THE SCAN;
+    inside the kernel both bounds resolve by ONE model inversion each
+    (``filter_gt(lo)`` minus ``filter_gt(hi)`` — position lists are sorted,
+    so the subtraction is a single ``searchsorted`` membership pass, no
+    set materialization). Bounds are in the column's signed domain (µs
+    since epoch for timestamps)."""
+    lo, hi = int(lo), int(hi)
+    zmin, zmax = F.col("_zmin"), F.col("_zmax")
+    prune = (zmax.isNull() | (zmax > F.lit(lo))) & (zmin.isNull() | (zmin <= F.lit(hi)))
+
+    def pos_fn(payload, n, logical, companion):
+        payload = bytes(payload)
+        p_lo = column_filter_gt(payload, n, logical, lo, companion=companion)
+        p_hi = column_filter_gt(payload, n, logical, hi, companion=companion)
+        if not p_hi.size:
+            return p_lo
+        # both sorted ascending: keep p_lo entries absent from p_hi
+        idx = np.searchsorted(p_hi, p_lo)
+        present = (idx < p_hi.size) & (p_hi[np.minimum(idx, p_hi.size - 1)] == p_lo)
+        return p_lo[~present]
+
+    return _gather_table(spark, store, column, out_cols, pos_fn, prune)
+
+
 def lookup_eq_table(
     spark: SparkSession,
     store: str,
