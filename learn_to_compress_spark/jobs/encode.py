@@ -221,6 +221,60 @@ def tune_chunk_rows(
     return best, sizes
 
 
+def _sample_race_seed(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    colspecs,
+    chunk_rows: int,
+    sample_rows: int | None = None,
+) -> dict[str, dict]:
+    """Driver-side pre-seeding of the per-column race memos: encode TWO
+    sampled chunks per int column and pre-bench every costly candidate
+    (poly2/spline/outlier/var/lookahead) that lost on all of them.
+
+    Shipped into the encode kernel, the seed makes adaptive race pruning
+    effective even when a task sees only one or two chunks of a column
+    (small jobs / many-partition layouts) — at scale the per-worker
+    ``RACE_RECHECK`` re-race still corrects a sample that under-represents
+    a late distribution shift. Only int/timestamp columns sample (string
+    races are sampling-based already), so the bounded ``limit().toPandas``
+    collect never ships a text column."""
+    import pyarrow as pa
+
+    from ..select import RACE_PATIENCE
+
+    int_cols = [
+        (n, lg) for n, lg in colspecs
+        if lg in ("int32", "int64", "timestamp_us", "timestamp_ntz_us")
+    ]
+    if not int_cols:
+        return {}
+    take = list(dict.fromkeys([*(k for k in key_cols if k), *(n for n, _ in int_cols)]))
+    n_rows = sample_rows if sample_rows is not None else min(2 * chunk_rows, 1 << 17)
+    pdf = df.select(*take).limit(int(n_rows)).toPandas()
+    if not len(pdf):
+        return {}
+    sortable = [k for k in key_cols if k in pdf.columns]
+    if sortable:
+        pdf = pdf.sort_values(sortable, kind="stable").reset_index(drop=True)
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    seed: dict[str, dict] = {}
+    for name, logical in int_cols:
+        memo: dict = {}
+        for s in range(0, tbl.num_rows, chunk_rows):
+            _encode_one_arrow(
+                tbl.column(name).slice(s, chunk_rows), logical, memo=memo
+            )
+        benched = {
+            cand: (RACE_PATIENCE, 0)
+            for cand, (losses, _since) in memo.items()
+            if losses >= max(1, (tbl.num_rows + chunk_rows - 1) // chunk_rows)
+        }
+        if benched:
+            seed[name] = benched
+    return seed
+
+
 def _i64_of_arrow(col, logical: str) -> np.ndarray:
     """Dense signed-int64 domain of a null-free int/timestamp Arrow column
     (µs since epoch for timestamps)."""
@@ -230,7 +284,7 @@ def _i64_of_arrow(col, logical: str) -> np.ndarray:
     return a.astype(np.int64, copy=False)
 
 
-def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None):
+def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None, race_seed=None):
     """Arrow-native encode kernel (mapInArrow): RecordBatch slices are
     zero-copy, string columns never materialize as Python objects. Emits ONE
     row per chunk — all column payloads of a chunk live in that row's
@@ -247,12 +301,18 @@ def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None):
     logical_of = dict(colspecs)
     linked = dict(linked or {})
 
+    race_seed = race_seed or {}
+
     def kernel(batches):
         seqs: dict[int, int] = {}
         # per-column race memos live for the whole partition: adaptive
         # candidate pruning amortizes the costly poly2/spline/outlier/var
-        # races across a column's chunks (select.RACE_PATIENCE)
-        race_memos: dict[str, dict] = {name: {} for name, _ in colspecs}
+        # races across a column's chunks (select.RACE_PATIENCE). The
+        # driver-side sample seed pre-benches candidates that lost on every
+        # sampled chunk (the RECHECK re-race still runs per worker).
+        race_memos: dict[str, dict] = {
+            name: dict(race_seed.get(name, {})) for name, _ in colspecs
+        }
         for rb in batches:
             parts_np = rb.column(rb.schema.get_field_index("_part_id")).to_numpy(
                 zero_copy_only=False
@@ -610,15 +670,50 @@ def encode_table(
 
     if resume:
         done = [r.part_id for r in read_lineage(spark, store).select("part_id").distinct().collect()]
+        if done and set(done) >= set(range(num_parts)):
+            # resume no-op fast path: every commit unit is already visible,
+            # so the encode job would ship an empty plan — answer from the
+            # lineage metadata instead (repeated reads through a cached
+            # store pay one tiny metadata scan, not a full Spark job)
+            if restore_conf:
+                for key, val in restore_conf.items():
+                    spark.conf.set(key, val)
+            stats = (
+                read_lineage(spark, store)
+                .agg(
+                    F.sum("n_rows").alias("rows"),
+                    F.sum("raw_bytes").alias("raw"),
+                    F.sum("enc_bytes").alias("enc"),
+                )
+                .collect()[0]
+            )
+            return {
+                "run_id": None,
+                "wall_ms": 0.0,
+                "rows": stats.rows,
+                "raw_bytes": stats.raw,
+                "enc_bytes": stats.enc,
+                "ratio": (stats.enc / stats.raw) if stats.raw else None,
+                "chunk_rows": chunk_rows,
+                "resumed_noop": True,
+            }
         if done:
             work = work.filter(~F.col("_part_id").isin(done))
+
+    # pre-bench costly race candidates from a bounded driver sample (only
+    # meaningful for the exact race; forced/learned selections skip races)
+    race_seed = (
+        _sample_race_seed(df, key_cols, colspecs, chunk_rows)
+        if selection == "exact"
+        else None
+    )
 
     t0 = time.monotonic()
     if presorted:
         # narrow plan: the filter preserves the scan partitioning, and each
         # task sees exactly one _part_id, so chunk seq counters stay unique
         encoded = work.mapInArrow(
-            _make_kernel(colspecs, chunk_rows, selection, linked_cols),
+            _make_kernel(colspecs, chunk_rows, selection, linked_cols, race_seed),
             schema=chunk_schema(colspecs),
         )
     else:
@@ -628,7 +723,7 @@ def encode_table(
             work.repartition(shuffle_width, "_part_id")
             .sortWithinPartitions("_part_id", *key_cols)
             .mapInArrow(
-                _make_kernel(colspecs, chunk_rows, selection, linked_cols),
+                _make_kernel(colspecs, chunk_rows, selection, linked_cols, race_seed),
                 schema=chunk_schema(colspecs),
             )
         )

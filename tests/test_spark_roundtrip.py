@@ -369,3 +369,20 @@ def test_linked_correlated_column_encode(spark, tmp_path):
     # companion payload leaf rides along via the schema map)
     only = decode_table(spark, path, columns=["seq"]).toPandas()
     assert sorted(only["seq"].tolist()) == sorted(seq.tolist())
+
+
+def test_resume_noop_fast_path_and_race_seed(spark, tmp_path):
+    """A fully-committed store resumes WITHOUT launching the encode job
+    (metadata-only answer, resumed_noop flag), and the driver-side race
+    seed keeps the store row-identical to an exhaustive-race encode."""
+    from learn_to_compress_spark.jobs import decode_table, encode_table
+    from learn_to_compress_spark.sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 50).cache()
+    store = str(tmp_path / "noop_store")
+    m1 = encode_table(df, store, num_parts=4)
+    m2 = encode_table(df, store, num_parts=4, resume=True)
+    assert m2.get("resumed_noop") is True
+    assert (m2["rows"], m2["enc_bytes"]) == (m1["rows"], m1["enc_bytes"])
+    dec = decode_table(spark, store)
+    assert dec.exceptAll(df).count() == 0 and df.exceptAll(dec).count() == 0
