@@ -95,6 +95,47 @@ def unpack_unsigned(buf: np.ndarray | bytes, n: int, l: int) -> np.ndarray:
     return out
 
 
+def unpack_unsigned_ragged(
+    flat: np.ndarray, starts: np.ndarray, ls: np.ndarray, n: int
+) -> np.ndarray:
+    """Batched :func:`unpack_unsigned` over B bitstreams packed in ONE buffer,
+    each with its OWN slot width.
+
+    ``flat`` is a contiguous uint8 buffer holding every stream back-to-back
+    plus ≥8 zero tail bytes; stream ``b`` begins at byte ``starts[b]`` and
+    holds ``n`` slots of ``ls[b]`` bits each. Returns ``(B, n)`` uint64.
+    One strided-u64 gather over the whole buffer — with per-row shifts and
+    masks — replaces B separate unpack calls, which is what makes tiny
+    reference block sizes (100-value blocks,
+    ``benchmark/fix_int_benchmark.py:16-26``) decode at full vector speed
+    instead of paying numpy call overhead per block. Rows with ``ls == 0``
+    come back all-zero, matching :func:`unpack_unsigned`.
+    """
+    B = int(starts.size)
+    if n == 0 or B == 0:
+        return np.zeros((B, n), dtype=_U64)
+    # int32 index math: payload buffers are far below 2 GiB, and the
+    # half-width temporaries matter — this kernel is memory-traffic bound
+    ls = np.asarray(ls, dtype=np.int32)
+    bit0 = np.arange(n, dtype=np.int32)[None, :] * ls[:, None]
+    byte0 = np.asarray(starts, dtype=np.int32)[:, None] + (bit0 >> 3)
+    shift = (bit0 & 7).astype(_U64)
+    flat = np.ascontiguousarray(flat)
+    view = np.ndarray(
+        buffer=flat.data, dtype=np.dtype("<u8"), shape=(flat.size - 7,), strides=(1,)
+    )
+    slots = view[byte0] >> shift
+    if bool((ls > 56).any()):
+        # a >56-bit slot can straddle 9 bytes — merge the 9th byte exactly
+        # like unpack_unsigned's wide path (cheap: only runs when present)
+        hi = flat[byte0 + 8].astype(_U64)
+        upshift = (_U64(64) - shift) & _U64(63)
+        slots |= np.where(shift > 0, hi << upshift, _U64(0))
+    lsc = np.where(ls >= 64, 0, ls).astype(_U64)
+    masks = np.where(ls >= 64, ~_U64(0), (_ONE << lsc) - _ONE)
+    return slots & masks[:, None]
+
+
 def pack_signmag(sign: np.ndarray, mag: np.ndarray, l: int) -> np.ndarray:
     """Pack sign-magnitude slots: slot = (mag & mask(l-1)) | sign << (l-1).
 

@@ -33,6 +33,17 @@ class IntCodec:
         raise NotImplementedError
 
     # --- optional fast paths (defaults decode-then-compute) ---
+    def decode_many(self, payloads, ns) -> list:
+        """Decode a batch of independent blocks in one call.
+
+        Counterpart of the reference's full-array decode loop
+        (``experiments/leco_int_template.cpp:112-131`` — its ``da_ns``
+        benchmark decodes every block inside ONE timed call): subclasses
+        override to amortize kernel launches across blocks, which is the
+        difference between 200 ns/int and 2 ns/int at 100-value blocks.
+        """
+        return [self.decode(p, n) for p, n in zip(payloads, ns)]
+
     def gather(self, payload: bytes, positions: np.ndarray, n: int) -> np.ndarray:
         """Random access at a position list (``randomdecodeArray8`` analogue,
         vectorized over the whole list)."""

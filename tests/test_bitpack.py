@@ -66,3 +66,26 @@ def test_known_vector_lsb_first():
     # stream = 1,0,0 | 0,1,0 | 1,1,0 | 1,1,1 → byte0 = 0b11010001, byte1 = 0b1110
     buf = pack_unsigned(np.array([1, 2, 3, 7], dtype=np.uint64), 3)
     assert buf.tobytes() == bytes([0b11010001, 0b00001110])
+
+
+@pytest.mark.parametrize("widths", [[0, 1, 4, 14, 40, 57, 63], [14, 15, 16], [0, 0]])
+def test_unpack_unsigned_ragged_matches_per_row(widths):
+    from learn_to_compress_spark.bitpack import unpack_unsigned_ragged
+
+    n = 100
+    rows, expect = [], []
+    for l in widths:
+        if l:
+            vals = RNG.integers(0, 2**63, size=n, dtype=np.uint64) & np.uint64(
+                (1 << l) - 1
+            )
+        else:
+            vals = np.zeros(n, dtype=np.uint64)
+        rows.append(pack_unsigned(vals, l).tobytes())
+        expect.append(vals)
+    flat = np.frombuffer(b"".join(rows) + b"\x00" * 16, dtype=np.uint8)
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[: len(rows)]
+    got = unpack_unsigned_ragged(flat, starts, np.array(widths), n)
+    for b, vals in enumerate(expect):
+        np.testing.assert_array_equal(got[b], vals)

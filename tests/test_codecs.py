@@ -1242,3 +1242,36 @@ def test_lookahead_codec_roundtrip_and_race_value():
         winners[name] = raced_name
     # lookahead carries its weight: it wins at least one realistic shape
     assert winners["sensor"] == "leco_var_lookahead", winners
+
+
+def test_leco_decode_many_bit_identical_to_per_block():
+    """`decode_many` must return exactly what per-block `decode` returns —
+    same values, same dtype — across residual widths incl. the mb=0 (pure
+    model), raw-escape, >56-bit-residual, and mixed-length cases. This is
+    the batched twin of the reference's timed full-decode loop
+    (experiments/leco_int_template.cpp:112-131)."""
+    from learn_to_compress_spark.codecs.intcodecs import LecoFixCodec
+
+    rng = np.random.default_rng(1234)
+    for dtype in (np.uint32, np.uint64):
+        codec = LecoFixCodec(np.dtype(dtype))
+        blocks = []
+        for n in (100, 100, 37, 1, 2000, 64):
+            base = int(rng.integers(0, 1000))
+            noise = rng.integers(0, 7, size=n)
+            blocks.append((np.arange(n) * 3 + base + noise).astype(dtype))
+        blocks.append(np.full(100, 5, dtype=dtype))  # mb = 0
+        blocks.append(rng.integers(0, np.iinfo(dtype).max, size=100, dtype=dtype))
+        if dtype is np.uint64:
+            blocks.append(rng.integers(0, 1 << 62, size=100, dtype=dtype))  # mb > 56
+            blocks.append(np.array([2**63, 2**63 + 5, 2**63 - 5], dtype=dtype))
+        payloads = [codec.encode(v) for v in blocks]
+        ns = [len(v) for v in blocks]
+        ref = [codec.decode(p, n) for p, n in zip(payloads, ns)]
+        got = codec.decode_many(payloads, ns)
+        assert len(got) == len(ref)
+        for r, g, v in zip(ref, got, blocks):
+            assert g.dtype == r.dtype
+            np.testing.assert_array_equal(g, r)
+            np.testing.assert_array_equal(g, v)
+    assert LecoFixCodec(np.dtype(np.uint64)).decode_many([], []) == []
