@@ -629,6 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_events_spline": _forced_decode_query(
             "events", ["event_id", "ts", "user_id", "value"], "spline", "ts"
         ),
+        "decode_events_leco_lp": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "leco_lp", "ts"
+        ),
         "decode_events_lookahead": _forced_decode_query(
             "events", ["event_id", "ts", "user_id", "value"], "leco_var_lookahead", "ts"
         ),
@@ -755,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_events_poly2": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_outlier": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_spline": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_leco_lp": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_lookahead": "SELECT event_id, ts, user_id, value FROM events",
         "decode_documents_word_dict": "SELECT doc_id, text, lang, source FROM documents",
         "decode_documents_fsst": "SELECT doc_id, text, lang, source FROM documents",

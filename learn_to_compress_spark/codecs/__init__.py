@@ -9,6 +9,7 @@ from .base import IntCodec
 from .delta_var import DeltaVarCodec
 from .dict_ import DictCodec
 from .intcodecs import DeltaCodec, ForCodec, LecoFixCodec, RawCodec, RleCodec
+from .leco_lp import LecoLpCodec
 from .leco_var import LecoVarCodec
 from .leco_var_dp import LecoVarDpCodec
 from .leco_var_lookahead import LecoVarLookaheadCodec
@@ -32,6 +33,7 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "leco_var_lookahead": LecoVarLookaheadCodec,
     "linked": LinkedCodec,
     "spline": SplineCodec,
+    "leco_lp": LecoLpCodec,
 }
 
 # stable ids for embedding a codec choice inside payloads / chunk meta
@@ -39,7 +41,7 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
 CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
     ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2",
      "delta_var", "leco_outlier", "leco_var_dp", "linked", "spline",
-     "leco_var_lookahead"]
+     "leco_var_lookahead", "leco_lp"]
 )}
 CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
 

@@ -241,6 +241,28 @@ def encode_int_values(
         parts.append(bytes([CODEC_IDS[name]]))
         parts.append(payload)
         return name, b"".join(parts)
+    # LeCo_LP (operator #18, scripts/leco_lp/leco_lp.py): the minimax
+    # linear fit directly minimizes the residual BIT WIDTH (the LS line
+    # optimizes the wrong norm and can sit a bit wider when one tail
+    # drifts). Same payload layout as leco — decode/pushdowns identical —
+    # so it races first, against the LS line itself, under the usual
+    # analytic-size-first gate; ties go to leco (strict <).
+    if (
+        selection == "exact"
+        and vals.size >= 256
+        and name == "leco"
+        and len(payload) > 17  # a zero-residual LS line can't be beaten
+        and _race_allowed(memo, "lp")
+    ):
+        from .codecs.leco_lp import LecoLpCodec
+
+        won = False
+        lp = LecoLpCodec(udtype)
+        if lp.size_bytes(vals) < len(payload):
+            cand = lp.encode(vals)
+            if len(cand) < len(payload):
+                name, payload, won = "leco_lp", cand, True
+        _race_record(memo, "lp", won)
     # Poly2 (operator #16, nonlinear_fix) joins the race only where the best
     # linear model left room — curvature is exactly what it fixes; its
     # analytic size is one extra vector pass (gated, so the common linear
@@ -249,7 +271,7 @@ def encode_int_values(
     if (
         selection == "exact"
         and vals.size >= 256
-        and name in ("leco", "for", "delta")
+        and name in ("leco", "leco_lp", "for", "delta")
         and len(payload) > 0.02 * vals.nbytes
         and _race_allowed(memo, "poly2")
     ):
@@ -272,7 +294,7 @@ def encode_int_values(
     if (
         selection == "exact"
         and vals.size >= 256
-        and name in ("leco", "for", "delta", "poly2")
+        and name in ("leco", "leco_lp", "for", "delta", "poly2")
         and len(payload) > 0.02 * vals.nbytes
         and _race_allowed(memo, "spline")
     ):
@@ -288,7 +310,7 @@ def encode_int_values(
     if (
         selection == "exact"
         and vals.size >= 256
-        and name in ("leco", "for", "delta", "poly2", "spline")
+        and name in ("leco", "leco_lp", "for", "delta", "poly2", "spline")
         and len(payload) > 0.02 * vals.nbytes
         and _race_allowed(memo, "outlier")
     ):
@@ -309,7 +331,7 @@ def encode_int_values(
     if (
         selection == "exact"
         and vals.size >= 4096
-        and name in ("leco", "for", "delta", "poly2", "spline", "leco_outlier")
+        and name in ("leco", "leco_lp", "for", "delta", "poly2", "spline", "leco_outlier")
         and len(payload) > 0.05 * vals.nbytes
         and _race_allowed(memo, "var")
     ):

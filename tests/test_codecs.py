@@ -1275,3 +1275,75 @@ def test_leco_decode_many_bit_identical_to_per_block():
             np.testing.assert_array_equal(g, r)
             np.testing.assert_array_equal(g, v)
     assert LecoFixCodec(np.dtype(np.uint64)).decode_many([], []) == []
+
+
+def test_leco_lp_minimax_fit_is_exact():
+    """The convex-hull Chebyshev fit must match a dense slope scan: no line
+    has a smaller max |residual| (the LP objective of scripts/leco_lp/
+    leco_lp.py, solved here without a solver)."""
+    from learn_to_compress_spark.codecs.leco_lp import chebyshev_line
+
+    rng = np.random.default_rng(99)
+    for trial in range(60):
+        n = int(rng.integers(3, 250))
+        kind = trial % 5
+        if kind == 0:
+            y = rng.normal(0, 100, n)
+        elif kind == 1:
+            y = np.arange(n) * 3.7 + rng.normal(0, 5, n)
+        elif kind == 2:
+            y = np.cumsum(rng.normal(0, 10, n))
+        elif kind == 3:
+            y = np.full(n, 42.0)
+        else:
+            y = rng.integers(0, 10, n).astype(float)
+        t0, t1 = chebyshev_line(y)
+        x = np.arange(n)
+        err = np.abs(y - (t0 + t1 * x)).max()
+        ss = np.linspace(t1 - 5, t1 + 5, 2001)
+        r = y[None, :] - ss[:, None] * x[None, :]
+        best = ((r.max(1) - r.min(1)) / 2).min()
+        assert err <= best + 1e-6, (trial, err, best)
+
+
+def test_leco_lp_roundtrip_size_and_race():
+    """leco_lp roundtrips bit-exactly, its analytic size_bytes equals the
+    real payload, its CONTINUOUS max residual never exceeds the LS line's
+    (minimax optimality), and the framed race only ever swaps it in when
+    strictly smaller."""
+    from learn_to_compress_spark.codecs.intcodecs import LecoFixCodec
+    from learn_to_compress_spark.codecs.leco_lp import LecoLpCodec
+    from learn_to_compress_spark.select import encode_int_values, decode_int_column
+
+    rng = np.random.default_rng(4)
+    for dtype in (np.uint32, np.uint64):
+        lp, ls = LecoLpCodec(np.dtype(dtype)), LecoFixCodec(np.dtype(dtype))
+        for trial in range(40):
+            n = int(rng.integers(256, 3000))
+            kind = trial % 3
+            if kind == 0:
+                v = (np.arange(n) * 7 + rng.integers(0, 50, n)).astype(dtype)
+            elif kind == 1:
+                v = (np.arange(n) * 3 + (rng.pareto(2.0, n) * 20).astype(int)).astype(
+                    dtype
+                )
+            else:
+                v = np.cumsum(rng.integers(0, 9, n)).astype(dtype)
+            p = lp.encode(v)
+            np.testing.assert_array_equal(lp.decode(p, n), v)
+            assert lp.size_bytes(v) == len(p)
+            x = np.arange(n, dtype=np.float64)
+            yf = v.astype(np.float64)
+            t0_lp, t1_lp = lp._fit(v)
+            t0_ls, t1_ls = ls._fit(v)
+            e_lp = np.abs(yf - (t0_lp + t1_lp * x)).max()
+            e_ls = np.abs(yf - (t0_ls + t1_ls * x)).max()
+            assert e_lp <= e_ls + 1e-6 * max(1.0, e_ls)
+    # forced seam roundtrips through the framing
+    v = (np.arange(1000) * 5 + np.random.default_rng(0).integers(0, 9, 1000)).astype(
+        np.int64
+    )
+    name, payload = encode_int_values(v, None, "int64", selection="force:leco_lp")
+    assert name == "leco_lp"
+    out = decode_int_column(payload, 1000, "int64")
+    np.testing.assert_array_equal(out.to_numpy(), v)
