@@ -632,6 +632,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_events_leco_lp": _forced_decode_query(
             "events", ["event_id", "ts", "user_id", "value"], "leco_lp", "ts"
         ),
+        # baseline codecs (op #19): real raced codecs here, comparison-only
+        # in the reference (headers/variablebyte.h, thirdparty/Elias-Fano)
+        "decode_events_vbyte": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "vbyte", "ts"
+        ),
+        "decode_events_elias_fano": _forced_decode_query(
+            "events", ["event_id", "ts", "user_id", "value"], "elias_fano", "ts"
+        ),
         "decode_events_lookahead": _forced_decode_query(
             "events", ["event_id", "ts", "user_id", "value"], "leco_var_lookahead", "ts"
         ),
@@ -759,6 +767,8 @@ def oracle_sql() -> dict[str, str]:
         "decode_events_outlier": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_spline": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_leco_lp": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_vbyte": "SELECT event_id, ts, user_id, value FROM events",
+        "decode_events_elias_fano": "SELECT event_id, ts, user_id, value FROM events",
         "decode_events_lookahead": "SELECT event_id, ts, user_id, value FROM events",
         "decode_documents_word_dict": "SELECT doc_id, text, lang, source FROM documents",
         "decode_documents_fsst": "SELECT doc_id, text, lang, source FROM documents",

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from .base import IntCodec
+from .baseline import EliasFanoCodec, VbyteCodec
 from .delta_var import DeltaVarCodec
 from .dict_ import DictCodec
 from .intcodecs import DeltaCodec, ForCodec, LecoFixCodec, RawCodec, RleCodec
@@ -34,6 +35,8 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "linked": LinkedCodec,
     "spline": SplineCodec,
     "leco_lp": LecoLpCodec,
+    "vbyte": VbyteCodec,
+    "elias_fano": EliasFanoCodec,
 }
 
 # stable ids for embedding a codec choice inside payloads / chunk meta
@@ -41,7 +44,7 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
 CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
     ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2",
      "delta_var", "leco_outlier", "leco_var_dp", "linked", "spline",
-     "leco_var_lookahead", "leco_lp"]
+     "leco_var_lookahead", "leco_lp", "vbyte", "elias_fano"]
 )}
 CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
 

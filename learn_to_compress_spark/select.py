@@ -361,6 +361,31 @@ def encode_int_values(
         if len(la) < len(payload):
             name, payload, won = "leco_var_lookahead", la, True
         _race_record(memo, "var_la", won)
+    # Baseline codecs (operator #19) race the FINAL winner where their
+    # shapes apply: vbyte's per-value sizing beats every fixed-width codec
+    # on heavy-tailed magnitudes, and Elias-Fano stores a monotone chunk at
+    # n·(2+log2(u/n)) bits where delta pays bits(max gap) per value. Both
+    # sizes are one exact O(n) pass, so the lose-case cost is tiny.
+    if (
+        selection == "exact"
+        and vals.size >= 256
+        and len(payload) > 0.02 * vals.nbytes
+        and _race_allowed(memo, "baseline")
+    ):
+        from .codecs.baseline import EliasFanoCodec, VbyteCodec
+
+        won = False
+        vb = VbyteCodec(udtype)
+        if vb.size_bytes(vals) < len(payload):
+            cand = vb.encode(vals)
+            if len(cand) < len(payload):
+                name, payload, won = "vbyte", cand, True
+        ef = EliasFanoCodec(udtype)
+        if EliasFanoCodec.eligible(vals) and ef.size_bytes(vals) < len(payload):
+            cand = ef.encode(vals)
+            if len(cand) < len(payload):
+                name, payload, won = "elias_fano", cand, True
+        _race_record(memo, "baseline", won)
     parts = [bytes([flags])]
     if mask is not None:
         parts.append(np.packbits(~mask, bitorder="little").tobytes())

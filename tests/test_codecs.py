@@ -1347,3 +1347,59 @@ def test_leco_lp_roundtrip_size_and_race():
     assert name == "leco_lp"
     out = decode_int_column(payload, 1000, "int64")
     np.testing.assert_array_equal(out.to_numpy(), v)
+
+
+def test_baseline_codecs_roundtrip_and_shape_wins():
+    """vbyte and elias_fano (operator #19 — comparison-only baselines in the
+    reference, real raced codecs here) roundtrip bit-exactly, report exact
+    analytic sizes, and each WINS on the shape it exists for: vbyte on
+    heavy-tailed magnitudes (per-value sizing vs fixed width), Elias-Fano on
+    monotone ids with irregular gaps (2+log2(u/n) bits amortized vs
+    bits(max gap) per value)."""
+    from learn_to_compress_spark.codecs.baseline import EliasFanoCodec, VbyteCodec
+    from learn_to_compress_spark.codecs.intcodecs import DeltaCodec, ForCodec
+    from learn_to_compress_spark.select import decode_int_column, encode_int_values
+
+    rng = np.random.default_rng(6)
+    for dtype in (np.uint32, np.uint64):
+        vb, ef = VbyteCodec(np.dtype(dtype)), EliasFanoCodec(np.dtype(dtype))
+        mx = np.iinfo(dtype).max
+        shapes = [
+            rng.integers(0, 128, 1000).astype(dtype),
+            rng.integers(0, mx, 1000, dtype=dtype),
+            np.zeros(100, dtype=dtype),
+            np.array([0, 1, 127, 128, 129, 16383, 16384, mx], dtype=dtype),
+            np.array([7], dtype=dtype),
+            (rng.pareto(1.0, 2000) * 100).astype(dtype),
+        ]
+        for v in shapes:
+            p = vb.encode(v)
+            assert len(p) == vb.size_bytes(v)
+            out = vb.decode(p, len(v))
+            assert out.dtype == v.dtype
+            np.testing.assert_array_equal(out, v)
+            # EF: escape path on arbitrary data, real path on sorted
+            np.testing.assert_array_equal(ef.decode(ef.encode(v), len(v)), v)
+            sv = np.sort(v)
+            pe = ef.encode(sv)
+            assert len(pe) == ef.size_bytes(sv)
+            np.testing.assert_array_equal(ef.decode(pe, len(sv)), sv)
+            for val in (0, int(sv[len(sv) // 2]), int(sv[-1])):
+                got = ef.filter_gt(pe, len(sv), val)
+                np.testing.assert_array_equal(
+                    got, np.flatnonzero(sv > np.array(val).astype(dtype))
+                )
+    # the shapes they were built for
+    u64 = np.dtype(np.uint64)
+    ids = np.sort(rng.choice(10_000_000, size=60_000, replace=False)).astype(np.uint64)
+    assert EliasFanoCodec(u64).size_bytes(ids) < len(DeltaCodec(u64).encode(ids))
+    tail = (rng.pareto(0.7, 60_000) * 10).astype(np.uint64)
+    assert VbyteCodec(u64).size_bytes(tail) < len(ForCodec(u64).encode(tail))
+    # forced seam roundtrips through the framing
+    for force in ("vbyte", "elias_fano"):
+        v = np.sort(rng.integers(0, 10**9, 5000)).astype(np.int64)
+        name, payload = encode_int_values(v, None, "int64", selection=f"force:{force}")
+        assert name == force
+        np.testing.assert_array_equal(
+            decode_int_column(payload, 5000, "int64").to_numpy(), v
+        )
