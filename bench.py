@@ -244,6 +244,30 @@ def main() -> int:
 
     shutil.rmtree(work, ignore_errors=True)
 
+    # --- drift probe (untimed) ---------------------------------------------
+    # This box is a shared VM with documented ~5× CPU drift between windows
+    # (identical code measured 0.34 s vs 0.97 s minutes apart). The probe
+    # times a FIXED engine-free kernel (pure chunk encode, no Spark) so
+    # cross-round walls can be drift-normalized: divide any query wall by
+    # (probe_this_round / probe_other_round) before comparing rounds.
+    try:
+        import multiprocessing as mp
+
+        from bench_scaling import _probe_work
+
+        best_1t = min(_probe_work(0) for _ in range(3))
+        extra["probe_encode_1t_sec"] = round(best_1t, 3)
+        P = int(cpus)
+        node_best = None
+        for _ in range(2):
+            with mp.Pool(P) as pool:
+                ts = pool.map(_probe_work, range(P))
+            agg = P / max(ts)
+            node_best = agg if node_best is None else max(node_best, agg)
+        extra["probe_encode_node_chunks_per_sec"] = round(node_best, 2)
+    except Exception:
+        pass  # the probe is evidence, never a bench failure
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
