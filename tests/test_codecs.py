@@ -1403,3 +1403,27 @@ def test_baseline_codecs_roundtrip_and_shape_wins():
         np.testing.assert_array_equal(
             decode_int_column(payload, 5000, "int64").to_numpy(), v
         )
+
+
+def test_new_codec_golden_layout_vectors():
+    """Stored-byte pins for the r4 codecs: a chunk store is durable data, so
+    layout changes must be deliberate (new codec id), never accidental.
+    vbyte/elias_fano bytes are hand-verified against the docstring layouts;
+    leco_lp shares LecoFixCodec's layout with its own fit (theta0=10,
+    theta1=3 for the pinned ramp)."""
+    from learn_to_compress_spark.codecs.baseline import EliasFanoCodec, VbyteCodec
+    from learn_to_compress_spark.codecs.leco_lp import LecoLpCodec
+
+    u64 = np.dtype(np.uint64)
+    assert (
+        VbyteCodec(u64).encode(np.array([0, 1, 127, 128, 300, 16384], dtype=np.uint64)).hex()
+        == "00017f8001ac02808001"
+    )
+    assert (
+        EliasFanoCodec(u64).encode(np.array([3, 4, 7, 13, 14, 15, 21, 43], dtype=np.uint64)).hex()
+        == "020300000000000000030000006b05028423"
+    )
+    assert (
+        LecoLpCodec(u64).encode(np.array([10, 13, 15, 19, 22, 24, 28, 31], dtype=np.uint64)).hex()
+        == "0200000000000024400000000000000840100400000000000000"
+    )
