@@ -119,8 +119,18 @@ def unpack_unsigned_ragged(
     ls = np.asarray(ls, dtype=np.int32)
     bit0 = np.arange(n, dtype=np.int32)[None, :] * ls[:, None]
     byte0 = np.asarray(starts, dtype=np.int32)[:, None] + (bit0 >> 3)
-    shift = (bit0 & 7).astype(_U64)
     flat = np.ascontiguousarray(flat)
+    if bool((ls <= 25).all()):
+        # every slot fits a 4-byte window (bitoff ≤ 7, so 7+25 ≤ 32): the
+        # u32 gather and u32 shift/mask temporaries move half the memory
+        view32 = np.ndarray(
+            buffer=flat.data, dtype=np.dtype("<u4"), shape=(flat.size - 3,), strides=(1,)
+        )
+        shift32 = (bit0 & 7).astype(np.uint32)
+        masks32 = (np.uint32(1) << ls.astype(np.uint32)) - np.uint32(1)
+        slots32 = (view32[byte0] >> shift32) & masks32[:, None]
+        return slots32.astype(_U64)
+    shift = (bit0 & 7).astype(_U64)
     view = np.ndarray(
         buffer=flat.data, dtype=np.dtype("<u8"), shape=(flat.size - 7,), strides=(1,)
     )

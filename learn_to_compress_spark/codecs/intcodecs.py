@@ -371,6 +371,13 @@ class LecoFixCodec(IntCodec):
         out: list = [None] * B
         if B == 0:
             return out
+        ns_list = [int(n) for n in ns]
+        if min(ns_list) >= 1024:
+            # large blocks: per-block working sets fit in L2 and reuse it
+            # across the ~8 kernel ops, while a (B, n) matrix streams DRAM
+            # on every op — measured crossover ≈ 768 values (per-block wins
+            # 24.9 vs 31.5 ns/int at n=1024; batched wins 40 vs 50 at 512)
+            return [self.decode(p, n) for p, n in zip(payloads, ns_list)]
         lens = np.fromiter((len(p) for p in payloads), np.int64, count=B)
         starts = np.empty(B, dtype=np.int64)
         starts[0] = 0
@@ -384,14 +391,31 @@ class LecoFixCodec(IntCodec):
         model = np.nonzero(mb != self.width)[0]
         for n in np.unique(ns_arr[model]):
             idxs = model[ns_arr[model] == n]
+            if n >= 1024:  # mixed input: large groups take the cache path
+                for i in idxs:
+                    out[i] = self.decode(payloads[i], int(n))
+                continue
             s = starts[idxs]
             th = np.ascontiguousarray(flat[s[:, None] + np.arange(1, 17)]).view("<f8")
             x = np.arange(int(n), dtype=np.float64)
             # stored thetas passed preds_castable at encode — never saturates
             pred = (th[:, 0:1] + th[:, 1:2] * x[None, :]).astype(np.int64)
             l = mb[idxs]
+            z = np.flatnonzero(l == 0)
+            if z.size:
+                # pure-model blocks (exactly-quantized fits are COMMON — the
+                # floor-align recenter makes linear data mb=0): the value IS
+                # the prediction, skip the whole residual pipeline
+                vz = pred[z].astype(self.dtype, copy=False)
+                for j, i in enumerate(idxs[z]):
+                    out[i] = vz[j]
+            nz = np.flatnonzero(l > 0)
+            if not nz.size:
+                continue
+            if z.size:
+                idxs, s, l, pred = idxs[nz], s[nz], l[nz], pred[nz]
             slots = unpack_unsigned_ragged(flat, s + 17, l, int(n))
-            lm1 = np.maximum(l - 1, 0).astype(_U64)
+            lm1 = (l - 1).astype(_U64)
             # bool cast ON PURPOSE: np.where over a 1-byte condition is
             # measurably faster than testing 8-byte u64 nonzero
             sign = (slots >> lm1[:, None]).astype(bool)
@@ -402,7 +426,9 @@ class LecoFixCodec(IntCodec):
                     self.dtype, copy=False
                 )
             else:
-                m64 = mag.astype(np.int64)
+                # view, not astype: mag < 2^62 so the bit pattern IS the
+                # signed value — saves a full-matrix copy
+                m64 = mag.view(np.int64)
                 vals = np.where(sign, pred + m64, pred - m64).astype(
                     self.dtype, copy=False
                 )
