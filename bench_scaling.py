@@ -340,8 +340,20 @@ grows with cluster size.
 
 Generated by `python bench_scaling.py {n_convs} {n_small}`.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    # Preserve hand-appended evidence sections: everything from the first
+    # "### " heading after the generated footer line stays. Without this, a
+    # rerun in a bad window silently REPLACES the representative recorded
+    # sessions with its own numbers (it happened once — see git history of
+    # BENCH/BASELINE.md around r4c).
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = old.find("\n### ")
+        if marker != -1:
+            tail = old[marker:]
+    with open(path, "w") as fh:
+        fh.write(md + tail)
     shutil.rmtree(work, ignore_errors=True)
     return 0
 
