@@ -260,6 +260,23 @@ def _filter_ts_between_query():
     return fn
 
 
+def _filter_and_query():
+    # conjunction across two columns of the same chunk row: both zone maps
+    # prune at the scan, both position lists intersect in the kernel
+    ts_us = 1_705_708_800_000_000  # 2024-01-20T00:00:00Z
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_gt_and_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return filter_gt_and_table(
+            spark, store, [("ts", ts_us), ("user_id", 60)],
+            ["event_id", "user_id", "ts"],
+        )
+
+    return fn
+
+
 def _lookup_eq_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.operators import lookup_eq_table
@@ -585,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_events_userid_gt": _filter_int_query(),
         # two-sided range (BETWEEN): both bounds by one model inversion each
         "filter_events_ts_between": _filter_ts_between_query(),
+        # compound AND across two columns (position-list intersection)
+        "filter_events_ts_and_userid": _filter_and_query(),
         # equality point-lookup (ops #33, #34)
         "lookup_events_userid_eq": _lookup_eq_query(),
         # string equality pushdown: code-domain compare on dict chunks
@@ -733,6 +752,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts FROM events "
             "WHERE ts > TIMESTAMP '2024-01-15 00:00:00' "
             "AND ts <= TIMESTAMP '2024-01-22 00:00:00'"
+        ),
+        "filter_events_ts_and_userid": (
+            "SELECT event_id, user_id, ts FROM events "
+            "WHERE ts > TIMESTAMP '2024-01-20 00:00:00' AND user_id > 60"
         ),
         "lookup_events_userid_eq": (
             "SELECT event_id, user_id, ts FROM events WHERE user_id = 7"

@@ -125,15 +125,22 @@ def _gather_table(
     kernel: ``pos = pos_fn(key payload, n)``; gather ``out_cols`` at those
     positions (density-adaptive point gather vs full decode inside
     ``column_gather``). No shuffle; the final DataFrame is the union of
-    per-chunk record batches."""
+    per-chunk record batches.
+
+    ``key_col`` may be a LIST of columns (compound predicates): the kernel
+    then calls ``pos_fn(payloads, n, logicals, companions)`` with parallel
+    lists, and each key column's zone-map leaves ride along as
+    ``_zmin<j>``/``_zmax<j>`` for the caller's prune expression."""
     import pyarrow as pa
 
     from ..chunkstore import load_store_schema
 
+    multi = isinstance(key_col, (list, tuple))
+    key_cols = list(key_col) if multi else [key_col]
     doc = load_store_schema(store)
     colspecs, _ = load_schema(store)
     logical_of = dict(colspecs)
-    need = list(dict.fromkeys([key_col, *out_cols]))
+    need = list(dict.fromkeys([*key_cols, *out_cols]))
     # linked (correlated-column) frames reference a companion column of the
     # same chunk row — its payload leaf rides along for any linked column
     linked = {t: c for t, c in (doc.get("linked_cols") or {}).items() if t in need}
@@ -142,20 +149,24 @@ def _gather_table(
         F.col(f"{col_field(n)}.payload").alias(f"p_{n}") for n in read_cols
     ]
     zone_leaves = []
+    zone_names = []
     if prune is not None:
         # zone-map leaves ride along (aliased) so the prune predicate binds
         # above the Project and still pushes to the Parquet scan
-        zone_leaves = [
-            F.col(f"{col_field(key_col)}.{zone_fields[0]}").alias("_zmin"),
-            F.col(f"{col_field(key_col)}.{zone_fields[1]}").alias("_zmax"),
-        ]
+        for j, kc in enumerate(key_cols):
+            sfx = str(j) if multi else ""
+            zone_leaves += [
+                F.col(f"{col_field(kc)}.{zone_fields[0]}").alias(f"_zmin{sfx}"),
+                F.col(f"{col_field(kc)}.{zone_fields[1]}").alias(f"_zmax{sfx}"),
+            ]
+            zone_names += [f"_zmin{sfx}", f"_zmax{sfx}"]
     chunks = read_chunks(spark, store, leaves=leaves + zone_leaves)
     if prune is not None:
-        chunks = chunks.filter(prune).drop("_zmin", "_zmax")
+        chunks = chunks.filter(prune).drop(*zone_names)
     sel = chunks
     out_schema = _decode_schema(colspecs, out_cols)
     pa_types = _pa_of_logical()
-    key_logical = logical_of[key_col]
+    key_logical = logical_of[key_cols[0]]
 
     def kernel(batches):
         for rb in batches:
@@ -172,9 +183,18 @@ def _gather_table(
 
             for i in range(rb.num_rows):
                 n = int(n_rows[i].as_py())
-                pos = pos_fn(
-                    pcols[key_col][i].as_py(), n, key_logical, comp_of(key_col, i)
-                )
+                if multi:
+                    pos = pos_fn(
+                        [pcols[k][i].as_py() for k in key_cols],
+                        n,
+                        [logical_of[k] for k in key_cols],
+                        [comp_of(k, i) for k in key_cols],
+                    )
+                else:
+                    pos = pos_fn(
+                        pcols[key_cols[0]][i].as_py(), n, key_logical,
+                        comp_of(key_cols[0], i),
+                    )
                 arrays = []
                 for name in out_cols:
                     lg = logical_of[name]
@@ -364,6 +384,52 @@ def filter_range_table(
         return p_lo[~present]
 
     return _gather_table(spark, store, column, out_cols, pos_fn, prune)
+
+
+def filter_gt_and_table(
+    spark: SparkSession,
+    store: str,
+    preds: list[tuple[str, int]],
+    out_cols: list[str],
+) -> DataFrame:
+    """SELECT out_cols WHERE col1 > v1 AND col2 > v2 AND … — conjunction of
+    open-range predicates over DIFFERENT columns of the same chunk row
+    (compound analogue of the reference's single-column ``filter_range``
+    drivers; the chunk store makes it one-pass because every column of a
+    chunk lives in the same row).
+
+    Pushdown composes per column: each predicate's zone map prunes at the
+    Parquet scan (a chunk survives only if EVERY ``zmax_i > v_i``), then
+    inside the kernel each surviving predicate resolves by its codec's
+    model-inversion ``filter_gt`` and the SORTED position lists intersect
+    with one ``searchsorted`` membership pass each — short-circuiting to
+    an empty batch the moment any intersection empties, so later columns'
+    payloads are never decoded for dead chunks. No shuffle anywhere."""
+    preds = [(c, int(v)) for c, v in preds]
+    prune = None
+    for j, (_c, v) in enumerate(preds):
+        zmax = F.col(f"_zmax{j}")
+        cond = zmax.isNull() | (zmax > F.lit(v))
+        prune = cond if prune is None else (prune & cond)
+
+    def pos_fn(payloads, n, logicals, companions):
+        pos = None
+        for (c, v), payload, lg, comp in zip(preds, payloads, logicals, companions):
+            p = column_filter_gt(bytes(payload), n, lg, v, companion=comp)
+            if pos is None:
+                pos = p
+            else:
+                # both sorted ascending: one searchsorted membership pass
+                idx = np.searchsorted(p, pos)
+                hit = (idx < p.size) & (p[np.minimum(idx, p.size - 1)] == pos)
+                pos = pos[hit]
+            if not pos.size:
+                return pos
+        return pos
+
+    return _gather_table(
+        spark, store, [c for c, _ in preds], out_cols, pos_fn, prune
+    )
 
 
 def lookup_eq_table(

@@ -270,3 +270,19 @@ def test_count_distinct_reads_only_target_payload(spark, tmp_path):
     assert "c_text" not in schemas and "c_ts" not in schemas, schemas
     # two-phase distinct aggregation: at most two exchanges of <= ndv rows
     assert shuffle_exchanges(df) <= 2, plan
+
+
+def test_filter_and_plan_pushes_both_zone_maps_no_exchange(spark, tmp_path):
+    """Compound AND: BOTH columns' zone-map predicates must reach the
+    Parquet scan, and the read stays shuffle-free — at 100 TB a chunk dead
+    on either bound must die before any payload bytes are read."""
+    from learn_to_compress_spark.operators import filter_gt_and_table
+
+    store = _store(spark, tmp_path, "plan_store_and")
+    df = filter_gt_and_table(
+        spark, store, [("turn_idx", 50), ("ts", 0)], ["conv_id", "turn_idx"]
+    )
+    plan = explain_text(df)
+    assert shuffle_exchanges(df) == 0, plan
+    pushed = " ".join(pushed_filters(df))
+    assert "c_turn_idx.zmax" in pushed and "c_ts.zmax" in pushed, plan
