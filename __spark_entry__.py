@@ -299,6 +299,19 @@ def _filter_str_eq_query():
     return fn
 
 
+def _filter_str_in_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_in_string_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return filter_in_string_table(
+            spark, store, "event_type", ["click", "purchase"],
+            ["event_id", "user_id", "event_type"],
+        )
+
+    return fn
+
+
 def _filter_str_gt_query():
     """String range pushdown (op: sorted-string binary search /
     model inversion in the big-int domain — leco_string_subset.cpp:186-193,
@@ -608,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_events_userid_eq": _lookup_eq_query(),
         # string equality pushdown: code-domain compare on dict chunks
         "filter_events_eventtype_eq": _filter_str_eq_query(),
+        # string IN-list, code-domain membership on dict chunks
+        "filter_events_eventtype_in": _filter_str_in_query(),
         # string RANGE pushdown: model inversion on the sorted big-int domain
         # (r3 — VERDICT item 4) + prefix range as two range bounds
         "filter_customer_name_gt": _filter_str_gt_query(),
@@ -763,6 +778,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_events_eventtype_eq": (
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE event_type = 'click'"
+        ),
+        "filter_events_eventtype_in": (
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE event_type IN ('click', 'purchase')"
         ),
         "filter_customer_name_gt": (
             "SELECT c_custkey, c_name FROM customer "

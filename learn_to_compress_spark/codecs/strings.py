@@ -231,6 +231,24 @@ class DictStringCodec:
         codes, _ = _decode_ints_best(payload, codes_off, n)
         return np.flatnonzero(codes == np.uint64(int(hits[0])))
 
+    def positions_in(self, payload: bytes, n: int, needles: list) -> np.ndarray:
+        """IN-list filter in the CODE domain: one pass over the (tiny)
+        dictionary finds the hit codes, then a sorted ``searchsorted``
+        membership test over the int codes — no row string materializes,
+        however long the IN list."""
+        if n == 0:
+            return np.empty(0, np.int64)
+        uniq, codes_off = self._uniq_and_codes_off(payload, n)
+        hit = pc.is_in(uniq, value_set=pa.array(list(needles), pa.binary()))
+        hits = np.flatnonzero(hit.to_numpy(zero_copy_only=False))
+        if hits.size == 0:
+            return np.empty(0, np.int64)
+        codes, _ = _decode_ints_best(payload, codes_off, n)
+        want = np.sort(hits.astype(np.uint64))
+        idx = np.searchsorted(want, codes)
+        ok = (idx < want.size) & (want[np.minimum(idx, want.size - 1)] == codes)
+        return np.flatnonzero(ok)
+
     def gather(self, payload: bytes, positions: np.ndarray, n: int) -> pa.Array:
         """Sparse random access in the CODE domain: decode the (tiny)
         dictionary + the int-coded code column, then ``take`` only the

@@ -282,6 +282,41 @@ def filter_eq_string_table(
     )
 
 
+def filter_in_string_table(
+    spark: SparkSession,
+    store: str,
+    column: str,
+    values: list[str],
+    out_cols: list[str],
+) -> DataFrame:
+    """SELECT out_cols WHERE string column IN (values…) — the IN-list
+    sibling of :func:`filter_eq_string_table` (categorical role/tool/
+    event_type filters are IN lists far more often than single equalities).
+
+    Dictionary-coded chunks answer in the CODE domain: one pass over the
+    tiny per-chunk dictionary finds the hit codes, then int-code membership
+    — no row string ever materializes regardless of list length. String
+    zone maps prune chunks whose [zsmin, zsmax] excludes EVERY value at the
+    Parquet scan (a chunk survives if ANY listed value can occur in it)."""
+    from ..select import column_positions_in_string
+
+    needles = [v.encode() for v in values]
+    zmin, zmax = F.col("_zmin"), F.col("_zmax")
+    prune = None
+    for v in values:
+        cond = (zmin.isNull() | (zmin <= F.lit(v))) & (
+            zmax.isNull() | (zmax >= F.lit(v))
+        )
+        prune = cond if prune is None else (prune | cond)
+
+    def pos_fn(payload, n, logical, companion):
+        return column_positions_in_string(bytes(payload), n, needles)
+
+    return _gather_table(
+        spark, store, column, out_cols, pos_fn, prune, zone_fields=("zsmin", "zsmax")
+    )
+
+
 def filter_gt_string_table(
     spark: SparkSession,
     store: str,

@@ -979,6 +979,34 @@ def column_positions_eq_string(payload: bytes, n: int, needle: bytes) -> np.ndar
     return dense
 
 
+def column_positions_in_string(payload: bytes, n: int, needles: list) -> np.ndarray:
+    """Positions (full-column indices) where a framed string column is IN
+    the ``needles`` list; nulls never match. Dictionary-coded chunks answer
+    in the CODE domain (``DictStringCodec.positions_in`` — one dictionary
+    pass + int-code membership, no row string materializes); other codecs
+    decode once and run one Arrow C++ ``is_in`` kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flags = payload[0]
+    valid, n_valid, off = _read_validity(payload, n, flags, 1)
+    if n_valid == 0:
+        return np.empty(0, np.int64)
+    name = STRING_CODEC_NAMES[payload[off]]
+    codec = STRING_CODEC_CLASSES[name]()
+    body = payload[off + 1 :]
+    pi = getattr(codec, "positions_in", None)
+    if pi is not None:
+        dense = pi(body, n_valid, needles)
+    else:
+        arr = codec.decode(body, n_valid)
+        hit = pc.is_in(arr, value_set=pa.array(list(needles), pa.binary()))
+        dense = np.flatnonzero(hit.to_numpy(zero_copy_only=False))
+    if valid is not None:
+        return np.flatnonzero(valid)[dense]
+    return dense
+
+
 # per-process observability for the string range pushdown (tests assert the
 # model-inversion / code-domain paths materialize ZERO row strings)
 STR_FILTER_STATS = {"rows_total": 0, "rows_decoded": 0}

@@ -1427,3 +1427,38 @@ def test_new_codec_golden_layout_vectors():
         LecoLpCodec(u64).encode(np.array([10, 13, 15, 19, 22, 24, 28, 31], dtype=np.uint64)).hex()
         == "0200000000000024400000000000000840100400000000000000"
     )
+
+
+def test_string_positions_in_matches_brute_force():
+    """IN-list membership across every string codec: dict chunks answer in
+    the CODE domain (DictStringCodec.positions_in, no row string
+    materializes), everything else through one Arrow is_in kernel — both
+    must agree with a brute-force scan, including null handling and an
+    empty / no-hit list."""
+    import pandas as pd
+
+    from learn_to_compress_spark.select import (
+        column_positions_in_string,
+        encode_string_column,
+    )
+
+    rng = np.random.default_rng(11)
+    cats = ["click", "view", "purchase", "scroll", None]
+    rows = [cats[i] for i in rng.integers(0, len(cats), 700)]
+    # high-cardinality rows force a non-dict codec on a second column
+    uniq_rows = [f"row-{i:05d}-{rng.integers(0, 10)}" for i in range(700)]
+    for data in (rows, uniq_rows):
+        ser = pd.Series(data, dtype="object")
+        name, payload = encode_string_column(ser)
+        for needles in (
+            [b"click", b"purchase"],
+            [b"row-00001-0", b"row-00699-0", b"absent"],
+            [b"absent"],
+        ):
+            got = column_positions_in_string(payload, len(ser), needles)
+            want = np.flatnonzero(
+                ser.map(lambda s: s is not None and s.encode() in needles).to_numpy(
+                    dtype=bool
+                )
+            )
+            np.testing.assert_array_equal(got, want), (name, needles)
