@@ -277,6 +277,20 @@ def _filter_and_query():
     return fn
 
 
+def _filter_or_query():
+    ts_us = 1_706_400_000_000_000  # 2024-01-28T00:00:00Z — late-tail OR filter
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import filter_gt_or_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return filter_gt_or_table(
+            spark, store, [("ts", ts_us), ("user_id", 140)],
+            ["event_id", "user_id", "ts"],
+        )
+
+    return fn
+
+
 def _lookup_eq_query():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from learn_to_compress_spark.operators import lookup_eq_table
@@ -615,8 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_events_userid_gt": _filter_int_query(),
         # two-sided range (BETWEEN): both bounds by one model inversion each
         "filter_events_ts_between": _filter_ts_between_query(),
-        # compound AND across two columns (position-list intersection)
+        # compound AND / OR across two columns (position-list algebra)
         "filter_events_ts_and_userid": _filter_and_query(),
+        "filter_events_ts_or_userid": _filter_or_query(),
         # equality point-lookup (ops #33, #34)
         "lookup_events_userid_eq": _lookup_eq_query(),
         # string equality pushdown: code-domain compare on dict chunks
@@ -771,6 +786,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_events_ts_and_userid": (
             "SELECT event_id, user_id, ts FROM events "
             "WHERE ts > TIMESTAMP '2024-01-20 00:00:00' AND user_id > 60"
+        ),
+        "filter_events_ts_or_userid": (
+            "SELECT event_id, user_id, ts FROM events "
+            "WHERE ts > TIMESTAMP '2024-01-28 00:00:00' OR user_id > 140"
         ),
         "lookup_events_userid_eq": (
             "SELECT event_id, user_id, ts FROM events WHERE user_id = 7"

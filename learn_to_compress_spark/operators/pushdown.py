@@ -467,6 +467,43 @@ def filter_gt_and_table(
     )
 
 
+def filter_gt_or_table(
+    spark: SparkSession,
+    store: str,
+    preds: list[tuple[str, int]],
+    out_cols: list[str],
+) -> DataFrame:
+    """SELECT out_cols WHERE col1 > v1 OR col2 > v2 OR … — disjunction
+    sibling of :func:`filter_gt_and_table`.
+
+    Zone-map pruning inverts: a chunk dies only if EVERY ``zmax_i <= v_i``
+    (the OR of the pushable conditions reaches the Parquet scan). Inside
+    the kernel each predicate's sorted position list unions via one
+    ``union1d`` merge; a predicate whose zone map already proves the whole
+    chunk matches (``zmin_i > v_i`` would short-circuit, but zmin isn't
+    read here — the all-match case is instead detected by the first list
+    covering all n positions, skipping the remaining columns' decodes)."""
+    preds = [(c, int(v)) for c, v in preds]
+    prune = None
+    for j, (_c, v) in enumerate(preds):
+        zmax = F.col(f"_zmax{j}")
+        cond = zmax.isNull() | (zmax > F.lit(v))
+        prune = cond if prune is None else (prune | cond)
+
+    def pos_fn(payloads, n, logicals, companions):
+        pos = np.empty(0, np.int64)
+        for (c, v), payload, lg, comp in zip(preds, payloads, logicals, companions):
+            if pos.size == n:  # already every row — later columns skip
+                break
+            p = column_filter_gt(bytes(payload), n, lg, v, companion=comp)
+            pos = p if not pos.size else np.union1d(pos, p)
+        return pos
+
+    return _gather_table(
+        spark, store, [c for c, _ in preds], out_cols, pos_fn, prune
+    )
+
+
 def lookup_eq_table(
     spark: SparkSession,
     store: str,

@@ -286,3 +286,19 @@ def test_filter_and_plan_pushes_both_zone_maps_no_exchange(spark, tmp_path):
     assert shuffle_exchanges(df) == 0, plan
     pushed = " ".join(pushed_filters(df))
     assert "c_turn_idx.zmax" in pushed and "c_ts.zmax" in pushed, plan
+
+
+def test_filter_or_plan_pushes_disjunction_no_exchange(spark, tmp_path):
+    """Compound OR: the DISJUNCTION of both zone-map conditions must reach
+    the scan (a chunk dies only when every column's zone map excludes it)
+    and the read stays shuffle-free."""
+    from learn_to_compress_spark.operators import filter_gt_or_table
+
+    store = _store(spark, tmp_path, "plan_store_or")
+    df = filter_gt_or_table(
+        spark, store, [("turn_idx", 50), ("ts", 0)], ["conv_id", "turn_idx"]
+    )
+    plan = explain_text(df)
+    assert shuffle_exchanges(df) == 0, plan
+    pushed = " ".join(pushed_filters(df))
+    assert "Or(" in pushed and "c_turn_idx.zmax" in pushed and "c_ts.zmax" in pushed, plan
