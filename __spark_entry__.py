@@ -277,6 +277,18 @@ def _filter_and_query():
     return fn
 
 
+def _topk_query():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from learn_to_compress_spark.operators import topk_table
+
+        store = _store_for(spark, sf_dir, "events")
+        return topk_table(
+            spark, store, "ts", 25, ["event_id", "user_id", "ts"], "event_id"
+        )
+
+    return fn
+
+
 def _filter_or_query():
     ts_us = 1_706_400_000_000_000  # 2024-01-28T00:00:00Z — late-tail OR filter
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compound AND / OR across two columns (position-list algebra)
         "filter_events_ts_and_userid": _filter_and_query(),
         "filter_events_ts_or_userid": _filter_or_query(),
+        # top-k pushdown (op #39 upgraded): metadata-only kth bound prunes
+        # chunks at the scan, per-chunk local top-k, tiny global limit
+        "topk_events_ts": _topk_query(),
         # equality point-lookup (ops #33, #34)
         "lookup_events_userid_eq": _lookup_eq_query(),
         # string equality pushdown: code-domain compare on dict chunks
@@ -790,6 +805,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_events_ts_or_userid": (
             "SELECT event_id, user_id, ts FROM events "
             "WHERE ts > TIMESTAMP '2024-01-28 00:00:00' OR user_id > 140"
+        ),
+        "topk_events_ts": (
+            "SELECT event_id, user_id, ts FROM events "
+            "ORDER BY ts DESC, event_id DESC LIMIT 25"
         ),
         "lookup_events_userid_eq": (
             "SELECT event_id, user_id, ts FROM events WHERE user_id = 7"

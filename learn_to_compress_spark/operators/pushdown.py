@@ -467,6 +467,85 @@ def filter_gt_and_table(
     )
 
 
+def topk_table(
+    spark: SparkSession,
+    store: str,
+    column: str,
+    k: int,
+    out_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """SELECT out_cols ORDER BY column DESC, tiebreak DESC LIMIT k — top-k
+    pushed into the chunk store (the upgrade of operator #39 from Spark's
+    post-decode sort+limit to a compressed-domain plan).
+
+    Two phases:
+    1. **Metadata-only bound**: one tiny scan of ``(zmin, n_rows)`` per
+       chunk. Sorting chunks by ``zmin`` DESC and accumulating ``n_rows``
+       until ≥ k proves at least k values ≥ the last included ``zmin`` —
+       a sound global threshold T, so the main scan pushes ``zmax >= T``
+       to Parquet and chunks that cannot reach the top-k never leave
+       storage (for a clustered column that is all but O(1) chunks).
+    2. **Per-chunk local top-k**: surviving chunks decode the key (+ the
+       unique ``tiebreak`` for determinism), lexsort descending, and emit
+       only their k best rows. The union is ≤ k·chunks rows, so the final
+       global ``orderBy().limit(k)`` shuffles a few kilobytes — never the
+       table.
+    """
+    k = int(k)
+    colspecs, _ = load_schema(store)
+    logical = dict(colspecs)[column]
+    from pyspark.sql import Window
+
+    meta = read_chunks(
+        spark,
+        store,
+        leaves=[
+            F.col(f"{col_field(column)}.zmin").alias("zmin"),
+            F.col("n_rows"),
+        ],
+    ).where(F.col("zmin").isNotNull())
+    # running row count down the zmin-DESC order; the first zmin whose
+    # cumulative count reaches k is the bound — a metadata-only job over
+    # chunk rows (1/chunk_rows of the table, the Iceberg-planning scale),
+    # returning ONE row to the driver
+    w = Window.orderBy(F.col("zmin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    row = (
+        meta.withColumn("cum", F.sum("n_rows").over(w))
+        .where(F.col("cum") >= k)
+        .orderBy(F.col("zmin").desc())
+        .select("zmin")
+        .first()
+    )
+    thresh = int(row[0]) if row is not None else None
+    prune = None
+    if thresh is not None:
+        zmax = F.col("_zmax0")
+        prune = zmax.isNull() | (zmax >= F.lit(thresh))
+
+    from ..select import decode_int_column
+
+    def _i64(payload, n, logical_, companion):
+        vals = decode_int_column(bytes(payload), n, logical_, companion=companion)
+        if "timestamp" in logical_:
+            return vals.to_numpy(dtype="datetime64[us]").view(np.int64)
+        return vals.to_numpy(dtype=np.int64)
+
+    def pos_fn(payloads, n, logicals, companions):
+        # the tiebreak decodes INSIDE the kernel so boundary ties resolve
+        # exactly like the SQL (a dropped local row tied on `column` but
+        # higher on `tiebreak` would otherwise beat an emitted one)
+        a = _i64(payloads[0], n, logicals[0], companions[0])
+        b = _i64(payloads[1], n, logicals[1], companions[1])
+        order = np.lexsort((-b, -a))[: max(k, 1)]
+        return np.sort(order)
+
+    df = _gather_table(spark, store, [column, tiebreak], out_cols, pos_fn, prune)
+    return df.orderBy(F.col(column).desc(), F.col(tiebreak).desc()).limit(k)
+
+
 def filter_gt_or_table(
     spark: SparkSession,
     store: str,

@@ -302,3 +302,26 @@ def test_filter_or_plan_pushes_disjunction_no_exchange(spark, tmp_path):
     assert shuffle_exchanges(df) == 0, plan
     pushed = " ".join(pushed_filters(df))
     assert "Or(" in pushed and "c_turn_idx.zmax" in pushed and "c_ts.zmax" in pushed, plan
+
+
+def test_topk_prunes_chunks_at_scan(spark, tmp_path):
+    """Top-k pushdown: the metadata-derived kth bound must reach the main
+    scan as a pushed zmax filter (chunks that cannot contribute never leave
+    storage), and the only shuffle is the final ≤ k·chunks-row limit."""
+    from learn_to_compress_spark.operators import topk_table
+
+    store = _store(spark, tmp_path, "plan_store_topk")
+    df = topk_table(spark, store, "turn_idx", 5, ["conv_id", "turn_idx", "ts"], "ts")
+    pushed = " ".join(pushed_filters(df))
+    assert "c_turn_idx.zmax" in pushed and "GreaterThanOrEqual" in pushed, pushed
+    # correctness against a plain decode-sort-limit of the same store
+    exp = (
+        decode_table(spark, store)
+        .orderBy(F.col("turn_idx").desc(), F.col("ts").desc())
+        .limit(5)
+        .toPandas()
+    )
+    got = df.toPandas()
+    assert got[["conv_id", "turn_idx"]].values.tolist() == exp[
+        ["conv_id", "turn_idx"]
+    ].values.tolist()
