@@ -446,3 +446,38 @@ def test_leco_string_outlier_roundtrip_property(data):
         return
     payload = codec.encode(arr)
     assert codec.decode(payload, n).to_pylist() == rows
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=8, max_size=400),
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_position_list_algebra_matches_brute(data, va, vb):
+    """The AND-intersection and OR-union over codec position lists must
+    equal the brute-force row predicate for ANY framed encoding of two
+    correlated columns (the kernels behind filter_gt_and_table /
+    filter_gt_or_table, minus Spark)."""
+    import numpy as np
+
+    from learn_to_compress_spark.select import column_filter_gt, encode_int_values
+
+    a = np.asarray(data, dtype=np.int64)
+    b = (a[::-1] * 3 + 7) % 10_001  # correlated second column, same length
+    _, pa_ = encode_int_values(a, None, "int64")
+    _, pb_ = encode_int_values(b.astype(np.int64), None, "int64")
+    n = a.size
+    la = column_filter_gt(pa_, n, "int64", va)
+    lb = column_filter_gt(pb_, n, "int64", vb)
+    # AND: sorted searchsorted membership (the operator's exact code shape)
+    if lb.size:
+        idx = np.searchsorted(lb, la)
+        hit = (idx < lb.size) & (lb[np.minimum(idx, lb.size - 1)] == la)
+        both = la[hit]
+    else:
+        both = la[:0]
+    np.testing.assert_array_equal(both, np.flatnonzero((a > va) & (b > vb)))
+    np.testing.assert_array_equal(
+        np.union1d(la, lb), np.flatnonzero((a > va) | (b > vb))
+    )
