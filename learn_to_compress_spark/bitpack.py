@@ -114,11 +114,17 @@ def unpack_unsigned_ragged(
     B = int(starts.size)
     if n == 0 or B == 0:
         return np.zeros((B, n), dtype=_U64)
-    # int32 index math: payload buffers are far below 2 GiB, and the
-    # half-width temporaries matter — this kernel is memory-traffic bound
-    ls = np.asarray(ls, dtype=np.int32)
-    bit0 = np.arange(n, dtype=np.int32)[None, :] * ls[:, None]
-    byte0 = np.asarray(starts, dtype=np.int32)[:, None] + (bit0 >> 3)
+    # int32 index math when the buffer provably fits (half-width
+    # temporaries matter — this kernel is memory-traffic bound); a joined
+    # payload ≥ 2 GiB would silently wrap int32 offsets, so the worst-case
+    # byte offset is checked in exact Python ints and the kernel widens to
+    # int64 indexing when needed
+    ls_arr = np.asarray(ls)
+    worst = int(np.max(starts)) + ((n * int(ls_arr.max()) + 7) >> 3) + 16
+    idt = np.int32 if worst < 2**31 else np.int64
+    ls = ls_arr.astype(idt)
+    bit0 = np.arange(n, dtype=idt)[None, :] * ls[:, None]
+    byte0 = np.asarray(starts, dtype=idt)[:, None] + (bit0 >> 3)
     flat = np.ascontiguousarray(flat)
     if bool((ls <= 25).all()):
         # every slot fits a 4-byte window (bitoff ≤ 7, so 7+25 ≤ 32): the

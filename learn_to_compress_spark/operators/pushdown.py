@@ -451,6 +451,11 @@ def filter_gt_and_table(
         pos = None
         for (c, v), payload, lg, comp in zip(preds, payloads, logicals, companions):
             p = column_filter_gt(bytes(payload), n, lg, v, companion=comp)
+            if not p.size:
+                # an all-null chunk column writes null zmin/zmax and survives
+                # the zmax.isNull() prune, yet matches nothing — short-circuit
+                # before the membership gather indexes an empty array
+                return p
             if pos is None:
                 pos = p
             else:
@@ -502,10 +507,17 @@ def topk_table(
         store,
         leaves=[
             F.col(f"{col_field(column)}.zmin").alias("zmin"),
-            F.col("n_rows"),
+            # the bound must count NON-NULL values (nulls sort last under
+            # DESC and can never be top-k); pre-v2.2 stores have no nvalid
+            # leaf — count those chunks as 0, which only lowers the
+            # threshold (less pruning, still sound), degenerating to no
+            # pruning when every chunk is old
+            F.coalesce(
+                F.col(f"{col_field(column)}.nvalid"), F.lit(0)
+            ).alias("n_rows"),
         ],
     ).where(F.col("zmin").isNotNull())
-    # running row count down the zmin-DESC order; the first zmin whose
+    # running non-null count down the zmin-DESC order; the first zmin whose
     # cumulative count reaches k is the bound — a metadata-only job over
     # chunk rows (1/chunk_rows of the table, the Iceberg-planning scale),
     # returning ONE row to the driver
@@ -525,22 +537,30 @@ def topk_table(
         zmax = F.col("_zmax0")
         prune = zmax.isNull() | (zmax >= F.lit(thresh))
 
-    from ..select import decode_int_column
-
-    def _i64(payload, n, logical_, companion):
-        vals = decode_int_column(bytes(payload), n, logical_, companion=companion)
-        if "timestamp" in logical_:
-            return vals.to_numpy(dtype="datetime64[us]").view(np.int64)
-        return vals.to_numpy(dtype=np.int64)
+    from ..select import column_decode_i64
 
     def pos_fn(payloads, n, logicals, companions):
         # the tiebreak decodes INSIDE the kernel so boundary ties resolve
         # exactly like the SQL (a dropped local row tied on `column` but
-        # higher on `tiebreak` would otherwise beat an emitted one)
-        a = _i64(payloads[0], n, logicals[0], companions[0])
-        b = _i64(payloads[1], n, logicals[1], companions[1])
-        order = np.lexsort((-b, -a))[: max(k, 1)]
-        return np.sort(order)
+        # higher on `tiebreak` would otherwise beat an emitted one).
+        # Nulls: column_decode_i64 returns (dense values at non-null
+        # slots, validity) — null KEY rows are excluded outright (DESC
+        # NULLS LAST can never put them in the top-k while any non-null
+        # candidate remains), null TIEBREAKS sort as -inf (NULLS LAST
+        # within equal keys), matching the SQL.
+        a, va = column_decode_i64(
+            bytes(payloads[0]), n, logicals[0], companion=companions[0]
+        )
+        apos = np.flatnonzero(va) if va is not None else np.arange(n, dtype=np.int64)
+        b, vb = column_decode_i64(
+            bytes(payloads[1]), n, logicals[1], companion=companions[1]
+        )
+        bfull = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        bfull[np.flatnonzero(vb) if vb is not None else slice(None)] = b
+        # ascending lexsort, take the tail — avoids negating int64 min
+        # (NaT / sentinel), which is its own negation and would sort FIRST
+        order = np.lexsort((bfull[apos], a))[-max(k, 1):]
+        return np.sort(apos[order])
 
     df = _gather_table(spark, store, [column, tiebreak], out_cols, pos_fn, prune)
     return df.orderBy(F.col(column).desc(), F.col(tiebreak).desc()).limit(k)

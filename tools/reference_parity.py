@@ -313,15 +313,22 @@ def main() -> int:
     import os as _os
 
     reps = int(_os.environ.get("PARITY_TP_REPS", "3"))
-    tp = throughput_rows()
-    for _ in range(reps - 1):
-        for k, row in enumerate(throughput_rows()):
-            ds, codec, block, ref_da, ref_enc, da1, enc1, dan, encn = row
-            b = tp[k]
-            tp[k] = (
-                ds, codec, block, ref_da, ref_enc,
-                min(b[5], da1), max(b[6], enc1), min(b[7], dan), max(b[8], encn),
-            )
+    sessions = [throughput_rows() for _ in range(reps)]
+    # best answers the capability question; the MEDIAN is reported alongside
+    # so the reader sees the typical session, not only the luckiest window
+    tp = []
+    for k in range(len(sessions[0])):
+        ds, codec, block, ref_da, ref_enc = sessions[0][k][:5]
+        da1 = [s[k][5] for s in sessions]
+        enc1 = [s[k][6] for s in sessions]
+        dan = [s[k][7] for s in sessions]
+        encn = [s[k][8] for s in sessions]
+        tp.append((
+            ds, codec, block, ref_da, ref_enc,
+            min(da1), max(enc1), min(dan), max(encn),
+            float(np.median(da1)), float(np.median(enc1)),
+            float(np.median(dan)), float(np.median(encn)),
+        ))
     lines += [
         "",
         "## Throughput parity (same data, same blocks)",
@@ -342,18 +349,20 @@ def main() -> int:
         "VM with documented ~5× drift a single session is a lottery (the",
         "same row measured 1.70 and 16.9 ns/int hours apart), and the",
         "capability question is answered by the best honestly-measured",
-        "window. ✓ = ours-node ≥ reference.",
+        "window; the median column beside each best shows the typical",
+        "session so the best is readable as a best, not as the estimate.",
+        "✓ = ours-node best ≥ reference.",
         "",
-        "| dataset | codec | block | ref dec ns/int | ours 1-thread | ours 1-node | ✓ | ref enc GB/s | ours 1-thread | ours 1-node | ✓ |",
+        "| dataset | codec | block | ref dec ns/int | ours 1-thread best (med) | ours 1-node best (med) | ✓ | ref enc GB/s | ours 1-thread best (med) | ours 1-node best (med) | ✓ |",
         "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for ds, codec, block, ref_da, ref_enc, da1, enc1, dan, encn in tp:
+    for ds, codec, block, ref_da, ref_enc, da1, enc1, dan, encn, da1m, enc1m, danm, encnm in tp:
         dec_ok = "✓" if dan <= ref_da else "✗"
         enc_ok = "—" if ref_enc is None else ("✓" if encn >= ref_enc else "✗")
         ref_enc_s = f"{ref_enc:.4f}" if ref_enc is not None else "n/a"
         lines.append(
-            f"| {ds} | {codec} | {block} | {ref_da:.2f} | {da1:.2f} | {dan:.3f} | {dec_ok} "
-            f"| {ref_enc_s} | {enc1:.3f} | {encn:.2f} | {enc_ok} |"
+            f"| {ds} | {codec} | {block} | {ref_da:.2f} | {da1:.2f} ({da1m:.2f}) | {dan:.3f} ({danm:.3f}) | {dec_ok} "
+            f"| {ref_enc_s} | {enc1:.3f} ({enc1m:.3f}) | {encn:.2f} ({encnm:.2f}) | {enc_ok} |"
         )
     lines += [
         "",
@@ -364,6 +373,14 @@ def main() -> int:
         "one-gather unpack amortizes numpy call overhead across blocks",
         "(per-block decode is ~6× slower there; bit-identity is asserted by",
         "`tests/test_codecs.py::test_leco_decode_many_bit_identical_to_per_block`).",
+        "Scope note: `decode_many` is a SMALL-BLOCK kernel that exists for",
+        "these parity rows — the production read path (`decode_table` /",
+        "`decode_int_column`) decodes per chunk, and `decode_many` itself",
+        "delegates to the per-block path at ≥1024 values (the measured",
+        "crossover), i.e. at every block size the engine's tuner actually",
+        "operates (floor 8192). The 100/2000-value rows therefore measure a",
+        "kernel queries only reach through this bench; the 8192/65536 rows",
+        "measure the same per-block path production takes.",
         "The variable-segmentation codecs beat the reference's encode",
         "throughput already SINGLE-THREADED (`leco_var`/`delta_var` — the",
         "batched window pricing); the fixed codecs need the node's cores to",
