@@ -415,7 +415,54 @@ def simhash_signatures(
 
 
 def _simhash_pairs(banded: DataFrame, join_keys) -> DataFrame:
-    """Bucket self-join of banded signatures → candidate (id, sig) pairs."""
+    """Bucket pair expansion → candidate (id, sig) pairs.
+
+    ONE shuffle groups each bucket's (id, simhash) members into a sorted
+    array, then every i<j combination expands MAP-SIDE with higher-order
+    functions (``transform``/``slice``/``flatten`` — whole-stage codegen,
+    no Python). The r4 self-join shuffled the 4n banded rows twice and
+    hash-built one side per band; this halves the shuffled bytes and drops
+    the build. Callers cap bucket sizes first (``bucket_cap`` ≤ 256), so a
+    member array is bounded and the per-row combination fan-out is ≤
+    cap·(cap-1)/2 — never quadratic in the table. The sorted array makes
+    ``id_a < id_b`` positional (ids are unique within a bucket)."""
+    g = (
+        banded.groupBy(*list(join_keys))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("m")
+        )
+        .filter(F.size("m") >= 2)
+    )
+    arr = F.col("m")
+    combos = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(
+                    arr,
+                    i + F.lit(2),
+                    F.greatest(F.size(arr) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("sig_a"),
+                    y["simhash"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    return g.select(F.explode(combos).alias("p")).select(
+        "p.id_a", "p.id_b", "p.sig_a", "p.sig_b"
+    )
+
+
+def _simhash_pairs_selfjoin(banded: DataFrame, join_keys) -> DataFrame:
+    """r4 pair generator (bucket self-join) — kept ONLY as the A/B baseline
+    for ``bench.py``'s paired in-window comparison against the combination
+    expansion above."""
     l, r = banded.alias("l"), banded.alias("r")
     on = F.col("l.id") < F.col("r.id")
     for k in join_keys:
@@ -432,6 +479,7 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    _pairs=None,
     **kw,
 ) -> DataFrame:
     """Near-dups by SimHash: band the 64-bit signature into 4×16-bit keys
@@ -452,13 +500,13 @@ def simhash_near_dup_pairs(
     duplicates are exact-dedup's job)."""
     from pyspark import StorageLevel
 
+    pairs_fn = _pairs or _simhash_pairs
     # persist the SIGNATURES, not the banded rows. Measured A/B on this box
     # (tools/bench_simhash_paired.py, sf0.1, 3 interleaved rounds in one
     # noise window): persist-sigs best 2.62 s vs persist-bands best 6.44 s —
     # the 64-expression signature stage is the expensive part and caching n
     # narrow rows beats caching the 4n-row posexplode output whose
-    # projection is four shift-ANDs. (r3's 9.12 s bench wall was box drift,
-    # not a plan defect: the same plan times 2.6 s in a clean window.)
+    # projection is four shift-ANDs.
     sigs = simhash_signatures(df, **kw).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
         "id",
@@ -474,25 +522,39 @@ def simhash_near_dup_pairs(
     )
 
     keys = ["band", "bucket"]
-    hot = (
-        bands.groupBy(*keys)
+    # ONE driver action decides hot buckets AND yields the key list itself:
+    # the count aggregate pre-aggregates map-side (the shuffle carries
+    # (band, bucket, partial-count) rows, not banded rows), the over-cap
+    # keys are tiny by definition, and the collected LITERAL list feeds the
+    # anti/semi joins below — r4 instead ran a limit(1).count() probe and
+    # then re-executed the whole aggregation inside EACH broadcast join.
+    hot_keys = [
+        (int(r[0]), int(r[1]))
+        for r in bands.groupBy(*keys)
         .agg(F.count("*").alias("sz"))
         .filter(F.col("sz") > bucket_cap)
         .select(*keys)
-    )
+        .collect()
+    ]
     # common case: no bucket exceeds the cap — skip the refinement branch's
-    # extra shuffles entirely (one tiny aggregate decides; the hot list is
-    # needed driver-adjacent for the broadcast anyway)
-    if hot.limit(1).count() == 0:
-        pairs = _simhash_pairs(bands, keys).distinct()
+    # extra shuffles entirely
+    if not hot_keys:
+        pairs = pairs_fn(bands, keys).distinct()
         hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         return pairs.filter(hamming <= max_hamming).select(
             "id_a", "id_b", hamming.cast("int").alias("hamming")
         )
-    cold = bands.join(F.broadcast(hot), keys, "left_anti")
-    hot_rows = bands.join(F.broadcast(hot), keys, "left_semi")
+    # the hot/cold split is a MAP-SIDE filter, not a join: (band, bucket)
+    # packs into one long (band is 0-3, bucket is 16 bits) and the literal
+    # IN-list compiles to a hash-set probe inside whole-stage codegen —
+    # cheaper than even a broadcast join, and the list stays small (≤ 4n/cap
+    # keys can exceed the cap, and only degenerate swarms do)
+    hot64 = [b << 16 | v for b, v in hot_keys]
+    hkey = F.shiftleft(F.col("band").cast("long"), 16).bitwiseOR(F.col("bucket"))
+    cold = bands.filter(~hkey.isin(hot64))
+    hot_rows = bands.filter(hkey.isin(hot64))
 
-    cand = _simhash_pairs(cold, keys)
+    cand = pairs_fn(cold, keys)
     # refinement pass: compact the three non-key bands into 48 bits, re-band
     # into 4×12-bit sub-buckets, cap again
     others = [
@@ -520,7 +582,7 @@ def simhash_near_dup_pairs(
         ).alias("sub", "subbucket"),
     )
     refined = _cap_buckets(refined, bucket_cap, keys=keys + ["sub", "subbucket"])
-    cand = cand.unionByName(_simhash_pairs(refined, keys + ["sub", "subbucket"])).distinct()
+    cand = cand.unionByName(pairs_fn(refined, keys + ["sub", "subbucket"])).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.filter(hamming <= max_hamming).select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
