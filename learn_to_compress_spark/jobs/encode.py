@@ -284,7 +284,8 @@ def _i64_of_arrow(col, logical: str) -> np.ndarray:
     return a.astype(np.int64, copy=False)
 
 
-def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None, race_seed=None):
+def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None, race_seed=None,
+                 var_model=None):
     """Arrow-native encode kernel (mapInArrow): RecordBatch slices are
     zero-copy, string columns never materialize as Python objects. Emits ONE
     row per chunk — all column payloads of a chunk live in that row's
@@ -304,6 +305,12 @@ def _make_kernel(colspecs, chunk_rows, selection="exact", linked=None, race_seed
     race_seed = race_seed or {}
 
     def kernel(batches):
+        if var_model:
+            # adopt the driver-fitted race-pruning regressor (plain arrays;
+            # idempotent) — executors never pay the training encodes
+            from ..learned import install_var_regressor
+
+            install_var_regressor(var_model)
         seqs: dict[int, int] = {}
         # per-column race memos live for the whole partition: adaptive
         # candidate pruning amortizes the costly poly2/spline/outlier/var
@@ -702,6 +709,16 @@ def encode_table(
 
     # pre-bench costly race candidates from a bounded driver sample (only
     # meaningful for the exact race; forced/learned selections skip races)
+    var_model = None
+    if selection == "exact":
+        # driver-side one-time fit of the segmentation-gain regressor
+        # (CART race pruning, regress_tree.h); ships as plain arrays in the
+        # kernel closure. Fit BEFORE the sample seed so the driver's own
+        # seeding race prunes with it too.
+        from ..learned import install_var_regressor, var_regressor_params
+
+        var_model = var_regressor_params()
+        install_var_regressor(var_model)
     race_seed = (
         _sample_race_seed(df, key_cols, colspecs, chunk_rows)
         if selection == "exact"
@@ -713,7 +730,8 @@ def encode_table(
         # narrow plan: the filter preserves the scan partitioning, and each
         # task sees exactly one _part_id, so chunk seq counters stay unique
         encoded = work.mapInArrow(
-            _make_kernel(colspecs, chunk_rows, selection, linked_cols, race_seed),
+            _make_kernel(colspecs, chunk_rows, selection, linked_cols, race_seed,
+                         var_model),
             schema=chunk_schema(colspecs),
         )
     else:
@@ -723,7 +741,8 @@ def encode_table(
             work.repartition(shuffle_width, "_part_id")
             .sortWithinPartitions("_part_id", *key_cols)
             .mapInArrow(
-                _make_kernel(colspecs, chunk_rows, selection, linked_cols, race_seed),
+                _make_kernel(colspecs, chunk_rows, selection, linked_cols, race_seed,
+                             var_model),
                 schema=chunk_schema(colspecs),
             )
         )

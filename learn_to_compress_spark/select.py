@@ -170,6 +170,17 @@ def _pick_int_codec(vals: np.ndarray, dtype) -> str:
 RACE_PATIENCE = 4
 RACE_RECHECK = 16
 
+#: regressor race pruning: skip the leco_var encode when the CART predicts
+#: var_bytes / best_fixed_bytes at or above this (i.e. race only on a
+#: predicted ≥7% win). Held-out regret vs the exhaustive race is asserted
+#: ≤ 1.02 by ``tests/test_learned_regressor.py``; the memo's periodic
+#: recheck still catches a mid-column distribution shift the model missed.
+VAR_PRUNE_RATIO = 0.93
+
+#: per-process observability for the regressor gate (tests assert pruning
+#: actually skips loser blocks; reset + read in-process)
+VAR_RACE_STATS = {"raced": 0, "skipped": 0}
+
 
 def _race_allowed(memo, cand: str) -> bool:
     if memo is None:
@@ -335,16 +346,30 @@ def encode_int_values(
         and len(payload) > 0.05 * vals.nbytes
         and _race_allowed(memo, "var")
     ):
-        fixed_name = name
-        won = False
-        var_payload = int_codec("leco_var", udtype).encode(vals)
-        if len(var_payload) < len(payload):
-            name, payload, won = "leco_var", var_payload, True
-        if fixed_name == "delta":
-            dv = int_codec("delta_var", udtype).encode(vals)
-            if len(dv) < len(payload):
-                name, payload, won = "delta_var", dv, True
-        _race_record(memo, "var", won)
+        # CART-regressor race pruning (``headers/regress_tree.h``,
+        # ``experiments/regressor_CART.cpp``): segmentation is the one race
+        # leg without a closed-form size, so a driver-fitted variance CART
+        # predicts leco_var_bytes/best_fixed_bytes from nine O(n) features
+        # and the full segmentation encode runs only when the predicted win
+        # clears VAR_PRUNE_RATIO. No model installed (library calls, tests)
+        # ⇒ predict returns None and the race stays exhaustive.
+        from .learned import predict_var_ratio
+
+        pred = predict_var_ratio(vals)
+        if pred is not None and pred >= VAR_PRUNE_RATIO:
+            VAR_RACE_STATS["skipped"] += 1
+        else:
+            VAR_RACE_STATS["raced"] += 1
+            fixed_name = name
+            won = False
+            var_payload = int_codec("leco_var", udtype).encode(vals)
+            if len(var_payload) < len(payload):
+                name, payload, won = "leco_var", var_payload, True
+            if fixed_name == "delta":
+                dv = int_codec("delta_var", udtype).encode(vals)
+                if len(dv) < len(payload):
+                    name, payload, won = "delta_var", dv, True
+            _race_record(memo, "var", won)
     # The online lookahead segmenter (piecewise_cost_lookahead.h) races
     # only where variable segmentation is already in play: its uniform
     # horizon boundaries beat the top-down argmax split on drift-shaped
