@@ -483,18 +483,29 @@ def _filter_str_range_query():
 
 
 def _linked_decode_query():
-    """Decode an events store encoded with ``linked_cols={"event_id": "ts"}``
-    (correlated-column compression). Asserts the linked codec actually won
-    chunks before returning rows, so the oracle match certifies the linked
-    decode path, not the independent race."""
+    """Decode an events store with NO ``linked_cols`` argument: the colcor
+    AUTO-DETECT (r5 — sampled correlation probe,
+    ``jobs/encode._propose_linked_cols``; reference flag at
+    ``piecewise_cost_merge_integer_template_link_colcor.h:634``) must
+    propose ``event_id → ts`` itself and the linked codec must win chunks
+    before rows return, so the oracle match certifies the whole
+    detect→race→decode path."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from learn_to_compress_spark.chunkstore import col_field, read_chunks
+        from learn_to_compress_spark.chunkstore import (
+            col_field,
+            load_store_schema,
+            read_chunks,
+        )
         from learn_to_compress_spark.jobs import decode_table
 
-        store = _store_for(
-            spark, sf_dir, "events", linked_cols={"event_id": "ts"}
-        )
+        # the DEFAULT events store (no linked_cols argument anywhere)
+        store = _store_for(spark, sf_dir, "events")
+        proposed = load_store_schema(store).get("linked_cols") or {}
+        if proposed.get("event_id") != "ts":
+            raise AssertionError(
+                f"colcor auto-detect did not propose event_id->ts: {proposed}"
+            )
         used = {
             r[0]
             for r in read_chunks(

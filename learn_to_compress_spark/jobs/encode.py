@@ -275,6 +275,92 @@ def _sample_race_seed(
     return seed
 
 
+def _propose_linked_cols(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    colspecs,
+    sample_rows: int = 1 << 15,
+    margin: float = 0.7,
+) -> dict[str, str] | None:
+    """Sampled group-correlation probe — auto-detect companion columns for
+    the linked codec (the reference's colcor mode is driven by a caller-set
+    group-correlation flag,
+    ``piecewise_cost_merge_integer_template_link_colcor.h:634``; here a
+    bounded driver sample proposes the map instead of the user).
+
+    For every ordered pair of null-free int/timestamp columns the probe
+    compares an O(n) ANALYTIC size of the linked residual stream (centered
+    LS fit of target on companion; residual range bits — the same model
+    ``encode_linked_framed`` serializes) against the target's own analytic
+    best fixed size. A pair enters the map only on a decisive win
+    (``margin``), companions follow the schema constraints (a companion
+    cannot itself be a target), and the per-chunk linked RACE still verifies
+    exactly — a false proposal costs one extra race leg per chunk, never
+    bytes. The sample sorts by ``key_cols`` so the correlation is measured
+    in the kernel's within-chunk order."""
+    from ..codecs.base import preds_castable
+    from ..select import int_codec_sizes
+
+    int_cols = [
+        (n, lg) for n, lg in colspecs
+        if lg in ("int32", "int64", "timestamp_us", "timestamp_ntz_us")
+    ]
+    if len(int_cols) < 2:
+        return None
+    take = list(dict.fromkeys([*(k for k in key_cols if k), *(n for n, _ in int_cols)]))
+    pdf = df.select(*take).limit(int(sample_rows)).toPandas()
+    if len(pdf) < 1024:
+        return None  # too small to trust a correlation
+    sortable = [k for k in key_cols if k in pdf.columns]
+    if sortable:
+        pdf = pdf.sort_values(sortable, kind="stable").reset_index(drop=True)
+    arrs: dict[str, np.ndarray] = {}
+    for name, logical in int_cols:
+        s = pdf[name]
+        if s.isna().any():
+            continue  # linked chunks must be null-free — don't propose
+        v = s.to_numpy()
+        if logical.startswith("timestamp"):
+            v = v.astype("datetime64[us]").view(np.int64)
+        arrs[name] = v.astype(np.int64, copy=False)
+    props: list[tuple[float, str, str]] = []
+    for t, y in arrs.items():
+        u = (y - y.min()).view(np.uint64)
+        base = min(int_codec_sizes(u, np.uint64).values())
+        if base <= 0:
+            continue
+        yf = y.astype(np.float64)
+        ym = yf.mean()
+        for c, xi in arrs.items():
+            if c == t:
+                continue
+            xf = xi.astype(np.float64)
+            xc = xf - xf.mean()
+            varx = float((xc * xc).sum())
+            if varx == 0.0 or not np.isfinite(varx):
+                continue
+            t1 = float((xc * (yf - ym)).sum()) / varx
+            pred = ym + t1 * xc
+            if not preds_castable(pred):
+                continue
+            resid = y - pred.astype(np.int64)
+            rng = float(int(resid.max()) - int(resid.min()))
+            linked_bytes = y.size * (np.log2(rng + 1.0) + 1.0) / 8.0 + 32.0
+            if linked_bytes < margin * base:
+                props.append((linked_bytes / base, t, c))
+    props.sort()
+    out: dict[str, str] = {}
+    used_comp: set[str] = set()
+    for _ratio, t, c in props:
+        # best wins first; keep the schema invariants (companion never a
+        # target, one companion per target)
+        if t in out or t in used_comp or c in out:
+            continue
+        out[t] = c
+        used_comp.add(c)
+    return out or None
+
+
 def _i64_of_arrow(col, logical: str) -> np.ndarray:
     """Dense signed-int64 domain of a null-free int/timestamp Arrow column
     (µs since epoch for timestamps)."""
@@ -612,6 +698,12 @@ def encode_table(
     stored_doc = _load_schema_doc(store)
     if linked_cols is None and stored_doc is not None:
         linked_cols = stored_doc.get("linked_cols")  # resume reuses the map
+    if linked_cols is None and stored_doc is None and selection == "exact":
+        # colcor auto-detect: propose the map from a bounded driver sample
+        # (see _propose_linked_cols). Only on FIRST encode of a store —
+        # appends/resumes reuse the persisted map, keeping the store's
+        # codec identity stable.
+        linked_cols = _propose_linked_cols(df, key_cols, colspecs)
     if linked_cols:
         intish = {"int32", "int64", "timestamp_us", "timestamp_ntz_us"}
         for tgt, comp in linked_cols.items():

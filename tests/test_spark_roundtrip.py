@@ -386,3 +386,81 @@ def test_resume_noop_fast_path_and_race_seed(spark, tmp_path):
     assert (m2["rows"], m2["enc_bytes"]) == (m1["rows"], m1["enc_bytes"])
     dec = decode_table(spark, store)
     assert dec.exceptAll(df).count() == 0 and df.exceptAll(dec).count() == 0
+
+
+def test_linked_auto_detect_proposes_and_wins(spark, tmp_path):
+    """colcor auto-detect (r5): with NO linked_cols argument, the sampled
+    correlation probe must propose seq->ts on a correlated shape, the
+    linked race must win, the map must persist for readers, and resume
+    must reuse it instead of re-probing a different answer."""
+    import json
+
+    from learn_to_compress_spark.chunkstore import read_chunks
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    ts = np.sort(rng.integers(1_700_000_000_000_000, 1_701_000_000_000_000, n))
+    seq = (1000 + (ts - ts[0]) // 50_000_000).astype(np.int64) + rng.integers(-3, 4, n)
+    user = rng.integers(0, 50, n)
+    pdf = pd.DataFrame({"user_id": user, "ts": pd.to_datetime(ts, unit="us"), "seq": seq})
+    df = spark.createDataFrame(pdf)
+
+    path = str(tmp_path / "linked_auto_store")
+    encode_table(
+        df, path, key_cols=("user_id", "ts"), chunk_rows=CHUNK_ROWS, num_parts=4,
+        salt_block=1 << 20,
+    )
+    with open(f"{path}/_schema.json") as fh:
+        assert json.load(fh)["linked_cols"] == {"seq": "ts"}
+    codecs = {
+        r[0]
+        for r in read_chunks(spark, path, leaves=[F.col("c_seq.codec").alias("c")])
+        .distinct()
+        .collect()
+    }
+    assert "linked" in codecs, codecs
+    raw = pdf.sort_values(["user_id", "ts", "seq"]).reset_index(drop=True)
+    dec = (
+        decode_table(spark, path)
+        .toPandas()
+        .sort_values(["user_id", "ts", "seq"])
+        .reset_index(drop=True)
+    )
+    assert (dec["seq"].to_numpy() == raw["seq"].to_numpy()).all()
+    assert (dec["ts"].to_numpy() == raw["ts"].to_numpy()).all()
+    # resume keeps the persisted map (no re-probe surprises)
+    m2 = encode_table(
+        df, path, key_cols=("user_id", "ts"), chunk_rows=CHUNK_ROWS, num_parts=4,
+        salt_block=1 << 20,
+    )
+    assert m2.get("resumed_noop")
+    with open(f"{path}/_schema.json") as fh:
+        assert json.load(fh)["linked_cols"] == {"seq": "ts"}
+
+
+def test_linked_auto_detect_declines_uncorrelated(spark, tmp_path):
+    """No correlation -> no proposal: random independent columns must leave
+    linked_cols unset (a false link costs a wasted race leg per chunk)."""
+    import json
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 50, n),
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(1_700_000_000_000_000, 1_701_000_000_000_000, n)),
+                unit="us",
+            ),
+            "noise": rng.integers(0, 1 << 40, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "linked_auto_none")
+    encode_table(
+        df, path, key_cols=("user_id", "ts"), chunk_rows=CHUNK_ROWS, num_parts=4,
+        salt_block=1 << 20,
+    )
+    with open(f"{path}/_schema.json") as fh:
+        doc = json.load(fh)
+    assert not (doc.get("linked_cols") or {}).get("noise"), doc.get("linked_cols")
