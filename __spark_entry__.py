@@ -34,8 +34,9 @@ _STORE_ROOT = os.environ.get("LTC_STORE_ROOT", "/tmp/ltc_stores")
 # every registry codec with a forced-selection seam, swept per column family
 # by the decode_*_forced_sweep queries (one driver row per family)
 _EVENTS_FORCED_CODECS = [
-    "leco_var", "leco_var_dp", "delta_var", "poly2", "leco_outlier",
-    "spline", "leco_lp", "vbyte", "elias_fano", "leco_var_lookahead",
+    "leco_var", "leco_var_dp", "delta_var", "poly2", "poly_max",
+    "leco_outlier", "spline", "leco_lp", "vbyte", "elias_fano",
+    "leco_var_lookahead",
 ]
 _DOCS_FORCED_CODECS = ["word_dict", "fsst"]
 _CUSTOMER_FORCED_CODECS = ["leco_str", "leco_str_wide"]

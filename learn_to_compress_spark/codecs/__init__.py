@@ -17,6 +17,7 @@ from .leco_var_lookahead import LecoVarLookaheadCodec
 from .linked import LinkedCodec
 from .outlier import LecoOutlierCodec
 from .poly import Poly2Codec
+from .poly_max import PolyMaxCodec
 from .spline import SplineCodec
 
 INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
@@ -37,6 +38,7 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
     "leco_lp": LecoLpCodec,
     "vbyte": VbyteCodec,
     "elias_fano": EliasFanoCodec,
+    "poly_max": PolyMaxCodec,
 }
 
 # stable ids for embedding a codec choice inside payloads / chunk meta
@@ -44,7 +46,7 @@ INT_CODEC_CLASSES: dict[str, type[IntCodec]] = {
 CODEC_IDS: dict[str, int] = {name: i for i, name in enumerate(
     ["raw", "for", "delta", "leco", "rle", "dict", "fsst", "leco_var", "poly2",
      "delta_var", "leco_outlier", "leco_var_dp", "linked", "spline",
-     "leco_var_lookahead", "leco_lp", "vbyte", "elias_fano"]
+     "leco_var_lookahead", "leco_lp", "vbyte", "elias_fano", "poly_max"]
 )}
 CODEC_NAMES: dict[int, str] = {i: n for n, i in CODEC_IDS.items()}
 

@@ -295,6 +295,27 @@ def encode_int_values(
             if len(cand) < len(payload):
                 name, payload, won = "poly2", cand, True
         _race_record(memo, "poly2", won)
+    # Poly_max (operator #16 completed): auto-degree k∈{2,3} polynomial
+    # with exact minimax (hull) recentering of the linear part — wins where
+    # curvature plus a drifting tail leaves the L2 fit a bit wide, and where
+    # genuine cubic shape needs the third coefficient. Same gated
+    # analytic-size-first race as poly2.
+    if (
+        selection == "exact"
+        and vals.size >= 256
+        and name in ("leco", "leco_lp", "for", "delta", "poly2")
+        and len(payload) > 0.02 * vals.nbytes
+        and _race_allowed(memo, "poly_max")
+    ):
+        from .codecs.poly_max import PolyMaxCodec
+
+        won = False
+        pm = PolyMaxCodec(udtype)
+        if pm.size_bytes(vals) < len(payload):
+            cand = pm.encode(vals)
+            if len(cand) < len(payload):
+                name, payload, won = "poly_max", cand, True
+        _race_record(memo, "poly_max", won)
     # LeCo_outlier (operator #17, piecewise_ransac/outlier_detect): spikes
     # in an otherwise-modelable column blow the fixed residual width; the
     # exception-list codec keeps the narrow bulk width. Raced under the same
@@ -305,7 +326,7 @@ def encode_int_values(
     if (
         selection == "exact"
         and vals.size >= 256
-        and name in ("leco", "leco_lp", "for", "delta", "poly2")
+        and name in ("leco", "leco_lp", "for", "delta", "poly2", "poly_max")
         and len(payload) > 0.02 * vals.nbytes
         and _race_allowed(memo, "spline")
     ):
@@ -321,7 +342,7 @@ def encode_int_values(
     if (
         selection == "exact"
         and vals.size >= 256
-        and name in ("leco", "leco_lp", "for", "delta", "poly2", "spline")
+        and name in ("leco", "leco_lp", "for", "delta", "poly2", "poly_max", "spline")
         and len(payload) > 0.02 * vals.nbytes
         and _race_allowed(memo, "outlier")
     ):
@@ -342,7 +363,7 @@ def encode_int_values(
     if (
         selection == "exact"
         and vals.size >= 4096
-        and name in ("leco", "leco_lp", "for", "delta", "poly2", "spline", "leco_outlier")
+        and name in ("leco", "leco_lp", "for", "delta", "poly2", "poly_max", "spline", "leco_outlier")
         and len(payload) > 0.05 * vals.nbytes
         and _race_allowed(memo, "var")
     ):
